@@ -1,0 +1,76 @@
+"""Recurrence execution: stacked cells under `lax.scan`.
+
+Replaces the reference's doubly nested Python loops (layers × timesteps,
+`/root/reference/rnn_compression_factorization_vmlmf/src/models/vmlmf.py:300-310`)
+with, per layer:
+
+  1. one time-parallel input projection over the whole ``[T, B, n]`` block
+     (``cell.inp`` — a single MXU matmul; invisible in the reference's
+     structure but the single biggest TPU win, since only the h-path of the
+     recurrence is inherently serial),
+  2. one ``lax.scan`` over time whose body is ``cell.step`` (h-path matmul +
+     gate elementwise), compiled once by XLA regardless of sequence length.
+
+Sequences are time-major ``[T, B, n]`` internally; `RNN.__call__` accepts
+batch-major input (the HAR layout) via ``time_major=False``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+def scan_layer(cell, prep, xs, state0, *, reverse=False, unroll=1):
+    """Run one cell over time-major ``xs [T, B, n]`` -> (ys [T, B, h], state)."""
+    gi = cell.inp(prep, xs)  # [T, B, G*h] — hoisted, time-parallel
+
+    def body(state, gi_t):
+        state, out = cell.step(prep, gi_t, state)
+        return state, out
+
+    state, ys = jax.lax.scan(body, state0, gi, reverse=reverse, unroll=unroll)
+    return ys, state
+
+
+@dataclasses.dataclass(frozen=True)
+class RNN:
+    """A stack of cells (one per layer), mirroring `MyLSTM` (`vmlmf.py:241-316`).
+
+    ``cells`` is a tuple of Cell instances; layer i consumes layer i-1's
+    hidden sequence.  Dropout between layers is the caller's concern (the
+    reference HAR wrapper declares-but-never-applies dropout, `vmlmf.py:268`;
+    the LM model applies it between layers at the model level).
+    """
+
+    cells: tuple
+    unroll: int = 1
+
+    def init(self, key, dtype=jnp.float32):
+        keys = jax.random.split(key, len(self.cells))
+        return [c.init(k, dtype) for c, k in zip(self.cells, keys)]
+
+    def state0(self, batch, dtype=jnp.float32):
+        return [c.state0(batch, dtype) for c in self.cells]
+
+    def __call__(self, params, xs, states=None, *, time_major=False, reverse=False):
+        """-> (ys, final_states).  ys in the same layout as xs."""
+        if not time_major:
+            xs = jnp.swapaxes(xs, 0, 1)
+        batch = xs.shape[1]
+        if states is None:
+            states = self.state0(batch, xs.dtype)
+        finals = []
+        for cell, p, s0 in zip(self.cells, params, states):
+            prep = cell.prepare(p)
+            xs, sf = scan_layer(cell, prep, xs, s0, reverse=reverse, unroll=self.unroll)
+            finals.append(sf)
+        if not time_major:
+            xs = jnp.swapaxes(xs, 0, 1)
+        return xs, finals
+
+    def last_hidden_concat(self, finals):
+        """Concat of last hidden states across layers (`vmlmf.py:316`)."""
+        return jnp.concatenate([c.out_of(s) for c, s in zip(self.cells, finals)], -1)

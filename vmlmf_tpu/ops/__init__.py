@@ -1,0 +1,8 @@
+from vmlmf_tpu.ops.lowrank import (  # noqa: F401
+    lowrank_proj,
+    gate_diag_rowsum,
+    group_diag_rowsum,
+    group_lowrank_proj,
+    dense_from_lowrank,
+    dense_from_group,
+)
