@@ -1,0 +1,108 @@
+"""Data-pipeline tests on tiny synthetic fixtures (no downloads in CI,
+mirroring SURVEY.md §4's test-plan note)."""
+
+import numpy as np
+
+from vmlmf_tpu.data.batching import batch_iterator, pad_last_batch
+from vmlmf_tpu.data.har import synthetic_har
+from vmlmf_tpu.data.opp_preprocess import (
+    EXCLUDED_COLUMNS,
+    GESTURE_LABEL_MAP,
+    NORM_MAX,
+    NORM_MIN,
+    process_file,
+)
+from vmlmf_tpu.data.ptb import minibatch, synthetic_corpus
+from vmlmf_tpu.data.sliding_window import sliding_window, window_series
+
+
+class TestSlidingWindow:
+    def test_window_shapes_opp_protocol(self):
+        x = np.arange(100 * 77, dtype=np.float32).reshape(100, 77)
+        w = sliding_window(x, 24, 12)
+        # windows at offsets 0,12,24,...,72 -> 7 windows
+        assert w.shape == (7, 24, 77)
+        np.testing.assert_array_equal(w[1], x[12:36])
+
+    def test_label_is_last_of_window(self):
+        x = np.zeros((48, 3), np.float32)
+        y = np.arange(48)
+        xw, yw = window_series(x, y, 24, 12)
+        np.testing.assert_array_equal(yw, [23, 35, 47])
+
+    def test_short_input(self):
+        assert sliding_window(np.zeros((10, 3)), 24, 12).shape == (0, 24, 3)
+
+
+class TestOppPreprocess:
+    def test_exclusion_list_matches_reference_cardinality(self):
+        # 172 excluded of raw 250 -> 77 sensors + label at position 77
+        assert len(EXCLUDED_COLUMNS) == 172
+        assert len(set(EXCLUDED_COLUMNS)) == 172
+        assert max(EXCLUDED_COLUMNS) == 248  # label column 249 survives
+
+    def test_norm_tables(self):
+        assert len(NORM_MAX) == 77 and len(NORM_MIN) == 77
+        assert all(a > b for a, b in zip(NORM_MAX, NORM_MIN))
+
+    def test_process_file_pipeline(self):
+        rng = np.random.default_rng(0)
+        raw = rng.normal(scale=100.0, size=(50, 250))
+        raw[:, 249] = 0.0
+        raw[5:10, 249] = 406516  # gesture -> class 1
+        raw[3, 40] = np.nan  # row with NaN dropped
+        x, y = process_file(raw)
+        assert x.shape == (49, 77)
+        assert (x >= 0).all() and (x <= 1.0).all()
+        assert set(np.unique(y)) <= {0, 1}
+        assert (y == 1).sum() == 5
+
+    def test_label_map_complete(self):
+        assert len(GESTURE_LABEL_MAP) == 17  # classes 1..17 (+0 null)
+        assert sorted(GESTURE_LABEL_MAP.values()) == list(range(1, 18))
+
+
+class TestBatching:
+    def test_drop_last_and_determinism(self):
+        x = np.arange(25)[:, None].astype(np.float32)
+        y = np.arange(25)
+        b1 = [b for b, _ in batch_iterator(x, y, 4, shuffle=True, drop_last=True, seed=1)]
+        b2 = [b for b, _ in batch_iterator(x, y, 4, shuffle=True, drop_last=True, seed=1)]
+        assert len(b1) == 6  # 25 // 4
+        np.testing.assert_array_equal(np.stack(b1), np.stack(b2))
+        b3 = [b for b, _ in batch_iterator(x, y, 4, shuffle=True, drop_last=True, seed=1, epoch=1)]
+        assert not np.array_equal(np.stack(b1), np.stack(b3))
+
+    def test_pad_last_batch_mask(self):
+        x = np.zeros((10, 3), np.float32)
+        y = np.arange(10)
+        xp, yp, mask = pad_last_batch(x, y, 4)
+        assert len(xp) == 12 and mask.sum() == 10
+
+
+class TestPTB:
+    def test_minibatch_layout_and_shift(self):
+        ids = np.arange(200, dtype=np.int32)
+        chunks = minibatch(ids, batch_size=4, seq_length=10)
+        x0, y0 = chunks[0]
+        assert x0.shape == (10, 4)
+        np.testing.assert_array_equal(y0, x0 + 1)  # next-token targets
+
+    def test_final_partial_chunk_dropped(self):
+        ids = np.arange(200, dtype=np.int32)
+        chunks = minibatch(ids, batch_size=4, seq_length=10)
+        # per-stream length 50 -> 49 usable -> chunks at 0,10,20,30 full;
+        # offset 40 has exactly 9 remaining -> dropped (reference behavior)
+        assert len(chunks) == 4
+
+    def test_synthetic_corpus_vocab(self):
+        ids = synthetic_corpus(vocab_size=50, length=1000, seed=0)
+        assert ids.min() >= 0 and ids.max() < 50
+
+
+class TestSyntheticHAR:
+    def test_shapes(self):
+        x_tr, y_tr, x_te, y_te = synthetic_har("opp", n_train=30, n_test=10)
+        assert x_tr.shape == (30, 24, 77) and y_tr.shape == (30,)
+        x_tr, _, _, _ = synthetic_har("uci", n_train=8)
+        assert x_tr.shape == (8, 128, 9)

@@ -1,0 +1,147 @@
+"""Mesh/sharding tests on 8 virtual CPU devices — the "distributed test
+without a cluster" strategy (SURVEY.md §4c).  Checks that the data-parallel
+HAR step and the vocab-sharded LM step compile, execute, and are *numerically
+invariant to the mesh shape* (device-count invariance is the correctness
+oracle for sharded training)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vmlmf_tpu.cells import VMLMFCell
+from vmlmf_tpu.nn.models import HARNet, LMModel
+from vmlmf_tpu.parallel.mesh import make_mesh
+from vmlmf_tpu.parallel.sharding import (
+    batch_sharding,
+    har_param_sharding,
+    lm_param_sharding,
+    lm_state_sharding,
+    replicated,
+)
+from vmlmf_tpu.train.lm import lm_loss
+
+
+def _har_model():
+    return HARNet(input_size=9, layer_sizes=(32,),
+                  cell_factory=lambda n, h: VMLMFCell(n, h, w_rank=4, u_rank=4),
+                  num_classes=6)
+
+
+def _har_loss_fn(model):
+    def f(params, x, y):
+        import optax
+
+        return optax.softmax_cross_entropy_with_integer_labels(
+            model.apply(params, x), y).mean()
+
+    return f
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self):
+        m = make_mesh()  # all 8 devices on data
+        assert m.shape == {"data": 8, "model": 1}
+        m2 = make_mesh(model=2)
+        assert m2.shape == {"data": 4, "model": 2}
+        m3 = make_mesh(data=2, model=2)
+        assert m3.shape == {"data": 2, "model": 2}
+
+
+class TestDataParallelHAR:
+    def test_dp_grad_matches_single_device(self):
+        model = _har_model()
+        params = model.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (16, 12, 9))
+        y = jax.random.randint(jax.random.PRNGKey(2), (16,), 0, 6)
+        loss_fn = _har_loss_fn(model)
+
+        # single-device truth
+        g_ref = jax.grad(loss_fn)(params, x, y)
+        l_ref = loss_fn(params, x, y)
+
+        mesh = make_mesh()  # 8-way data parallel
+        p_shard = har_param_sharding(params, mesh)
+        x_s = jax.device_put(x, batch_sharding(mesh, 3))
+        y_s = jax.device_put(y, batch_sharding(mesh, 1))
+        p_s = jax.device_put(params, p_shard)
+        step = jax.jit(jax.value_and_grad(loss_fn),
+                       in_shardings=(p_shard, batch_sharding(mesh, 3), batch_sharding(mesh, 1)),
+                       out_shardings=(replicated(mesh), p_shard))
+        l_dp, g_dp = step(p_s, x_s, y_s)
+
+        np.testing.assert_allclose(float(l_dp), float(l_ref), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(g_dp), jax.tree_util.tree_leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+
+class TestVocabShardedLM:
+    def _loss(self, model, params, states, ids, y):
+        logits, _ = model.apply(params, ids, states, train=False)
+        return lm_loss(logits, y)
+
+    def test_mesh_shape_invariance(self):
+        """Same LM loss+grads on (8,1), (4,2), (2,4) meshes and single device."""
+        vocab, hidden, t, b = 32, 16, 6, 8
+        model = LMModel(vocab_size=vocab, hidden_size=hidden, num_layers=2,
+                        cell_factory=lambda n, h: VMLMFCell(n, h, w_rank=4, u_rank=4),
+                        dropout_rate=0.0, winit=0.05)
+        params = model.init(jax.random.PRNGKey(0))
+        states = model.state0(b)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (t, b), 0, vocab)
+        y = jax.random.randint(jax.random.PRNGKey(2), (t, b), 0, vocab)
+
+        loss_fn = lambda p, s, i, yy: self._loss(model, p, s, i, yy)
+        ref_loss = float(loss_fn(params, states, ids, y))
+        ref_grads = jax.grad(loss_fn)(params, states, ids, y)
+
+        for dp, mp in [(8, 1), (4, 2), (2, 4)]:
+            mesh = make_mesh(data=dp, model=mp)
+            p_shard = lm_param_sharding(params, mesh)
+            s_shard = lm_state_sharding(states, mesh)
+            d_shard = NamedSharding(mesh, P(None, "data"))
+            step = jax.jit(jax.value_and_grad(loss_fn),
+                           in_shardings=(p_shard, s_shard, d_shard, d_shard),
+                           out_shardings=(replicated(mesh), p_shard))
+            l, g = step(jax.device_put(params, p_shard),
+                        jax.device_put(states, s_shard),
+                        jax.device_put(ids, d_shard),
+                        jax.device_put(y, d_shard))
+            np.testing.assert_allclose(float(l), ref_loss, rtol=1e-5,
+                                       err_msg=f"mesh ({dp},{mp})")
+            for a, bb in zip(jax.tree_util.tree_leaves(g),
+                             jax.tree_util.tree_leaves(ref_grads)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                           atol=1e-5, rtol=1e-4)
+
+    def test_embedding_table_actually_sharded(self):
+        vocab, hidden = 64, 16
+        model = LMModel(vocab_size=vocab, hidden_size=hidden, num_layers=1,
+                        cell_factory=lambda n, h: VMLMFCell(n, h, w_rank=4, u_rank=4),
+                        dropout_rate=0.0)
+        params = model.init(jax.random.PRNGKey(0))
+        mesh = make_mesh(data=2, model=4)
+        p_shard = lm_param_sharding(params, mesh)
+        p = jax.device_put(params, p_shard)
+        # each model-shard holds V/4 rows of the embedding
+        shard_shapes = {s.data.shape for s in p["embed"]["w"].addressable_shards}
+        assert shard_shapes == {(vocab // 4, hidden)}
+        shard_shapes = {s.data.shape for s in p["fc"]["w"].addressable_shards}
+        assert shard_shapes == {(hidden, vocab // 4)}
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip(self):
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "graft_entry",
+            os.path.join(os.path.dirname(os.path.dirname(__file__)), "__graft_entry__.py"),
+        )
+        g = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(g)
+        fn, args = g.entry()
+        out = jax.jit(fn)(*args)
+        assert out.shape == (81, 18)
+        g.dryrun_multichip(8)

@@ -1,0 +1,162 @@
+"""Training-engine tests: seed-pinned short-train regression on tiny synthetic
+data (the loss-curve oracle the reference lacks — SURVEY.md §4d), LM loss
+convention, clip/decay schedule, checkpoint round-trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vmlmf_tpu.cells import LSTMCell, VMLMFCell
+from vmlmf_tpu.data.har import synthetic_har
+from vmlmf_tpu.data.ptb import minibatch, synthetic_corpus
+from vmlmf_tpu.nn.models import HARNet, LMModel
+from vmlmf_tpu.train.checkpoint import load_checkpoint, run_name, save_checkpoint
+from vmlmf_tpu.train.har import HARTrainer, evaluate, macro_f1
+from vmlmf_tpu.train.lm import LMTrainer, clip_by_global_norm, lm_loss
+
+
+def _tiny_har_model():
+    return HARNet(input_size=9, layer_sizes=(32,),
+                  cell_factory=lambda n, h: VMLMFCell(n, h, w_rank=4, u_rank=4),
+                  num_classes=6)
+
+
+class TestHARTrainer:
+    def test_loss_decreases_and_learns(self):
+        x_tr, y_tr, x_te, y_te = synthetic_har("uci", n_train=128, n_test=64, seed=0)
+        x_tr, x_te = x_tr[:, :32], x_te[:, :32]  # trim T for CPU speed
+        model = _tiny_har_model()
+        tr = HARTrainer(model, learning_rate=1e-2, batch_size=32, seed=3)
+        params, opt_state = tr.init()
+        params, opt_state, hist = tr.fit(params, opt_state, x_tr, y_tr,
+                                         epochs=12, log_fn=None)
+        assert hist[-1]["loss"] < hist[0]["loss"] * 0.8
+        metrics = evaluate(model, params, x_te, y_te, batch_size=32)
+        assert metrics["accuracy"] > 1.0 / 6 + 0.1  # clearly above chance
+
+    def test_determinism_same_seed(self):
+        x_tr, y_tr, *_ = synthetic_har("uci", n_train=64, n_test=8, seed=0)
+        x_tr = x_tr[:, :16]
+        model = _tiny_har_model()
+
+        def run():
+            tr = HARTrainer(model, learning_rate=5e-3, batch_size=32, seed=3)
+            p, o = tr.init()
+            p, o, h = tr.fit(p, o, x_tr, y_tr, epochs=2, log_fn=None)
+            return h[-1]["loss"]
+
+        assert run() == run()
+
+
+class TestMacroF1:
+    def test_against_known_values(self):
+        pred = np.array([0, 0, 1, 1, 2, 2])
+        tgt = np.array([0, 1, 1, 1, 2, 0])
+        # class0: tp1 fp1 fn1 -> 0.5 ; class1: tp2 fp0 fn1 -> 0.8 ; class2: tp1 fp1 fn0 -> 2/3
+        expected = (0.5 + 0.8 + 2 / 3) / 3
+        assert abs(macro_f1(pred, tgt) - expected) < 1e-9
+
+
+class TestLMLoss:
+    def test_zaremba_convention(self):
+        t, b, v = 3, 4, 11
+        logits = jax.random.normal(jax.random.PRNGKey(0), (t, b, v))
+        y = jax.random.randint(jax.random.PRNGKey(1), (t, b), 0, v)
+        loss = lm_loss(logits, y)
+        # manual: mean over T*B of nll, times batch size
+        logp = jax.nn.log_softmax(logits)
+        nll = -jnp.take_along_axis(logp, y[..., None], -1).squeeze(-1)
+        np.testing.assert_allclose(loss, nll.mean() * b, rtol=1e-6)
+
+    def test_clip_by_global_norm(self):
+        g = {"a": jnp.ones((10,)) * 3.0}
+        clipped, norm = clip_by_global_norm(g, 1.0)
+        np.testing.assert_allclose(norm, np.sqrt(90.0), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.sqrt(np.sum(clipped["a"] ** 2)), 1.0, rtol=1e-4)
+        # under the threshold -> unchanged
+        g2 = {"a": jnp.ones((4,)) * 0.1}
+        c2, _ = clip_by_global_norm(g2, 1.0)
+        np.testing.assert_allclose(c2["a"], g2["a"], rtol=1e-6)
+
+
+class TestLMTrainer:
+    def test_short_train_reduces_perplexity(self):
+        ids = synthetic_corpus(vocab_size=64, length=6000, seed=0)
+        trn = minibatch(ids[:5000], 8, 16)
+        vld = minibatch(ids[5000:], 8, 16)
+        model = LMModel(vocab_size=64, hidden_size=32, num_layers=1,
+                        cell_factory=lambda n, h: LSTMCell(n, h),
+                        dropout_rate=0.0, winit=0.05)
+        tr = LMTrainer(model, batch_size=8, seq_length=16, learning_rate=1.0,
+                       factor_epoch=100, max_grad_norm=5.0, seed=0)
+        params = tr.init()
+        ppl0 = tr.perplexity(params, vld)
+        params, hist = tr.fit(params, (trn, vld, vld), epochs=2, log_fn=None)
+        assert hist[0]["val_ppl"] < ppl0
+        assert hist[1]["val_ppl"] < ppl0
+
+    def test_lr_decay_schedule(self):
+        """lr decays by /factor per epoch past factor_epoch (`lm_test.py:194-195`)."""
+        ids = synthetic_corpus(vocab_size=16, length=600, seed=1)
+        trn = minibatch(ids, 4, 8)
+        model = LMModel(vocab_size=16, hidden_size=8, num_layers=1,
+                        cell_factory=lambda n, h: LSTMCell(n, h),
+                        dropout_rate=0.0)
+        tr = LMTrainer(model, batch_size=4, learning_rate=1.0, factor_epoch=1,
+                       factor=2.0, seed=0)
+        params = tr.init()
+        _, hist = tr.fit(params, (trn, trn, trn), epochs=4, log_fn=None)
+        lrs = [h["lr"] for h in hist if "lr" in h]
+        assert lrs == [1.0, 1.0, 0.5, 0.25]
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        model = _tiny_har_model()
+        params = model.init(jax.random.PRNGKey(0))
+        path = save_checkpoint(str(tmp_path / "ck"), params, meta={"k": 1})
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        restored = load_checkpoint(path, zeros)
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_shape_mismatch_raises(self, tmp_path):
+        import pytest
+
+        model = _tiny_har_model()
+        params = model.init(jax.random.PRNGKey(0))
+        path = save_checkpoint(str(tmp_path / "ck"), params)
+        other = HARNet(input_size=9, layer_sizes=(16,),
+                       cell_factory=lambda n, h: VMLMFCell(n, h, w_rank=4, u_rank=4),
+                       num_classes=6).init(jax.random.PRNGKey(0))
+        with pytest.raises(ValueError):
+            load_checkpoint(path, other)
+
+    def test_run_name(self):
+        name = run_name("vmmodel", layer_sizes=(180,), w_rank=8, u_ranks=(6,),
+                        data="OPP", seed=3)
+        assert name == "vmmodel_L180_w8_u6_opp_seed3"
+
+
+class TestAnalytics:
+    def test_flops_formula_matches_reference_closed_form(self):
+        from vmlmf_tpu.utils.analytics import lstm_cell_flops
+
+        n, h, wr, ur = 77, 180, 8, 6
+        # reproduce compression_cal.py:72-113 independently
+        input_ops = (2 * n - 1) * wr + (2 * wr - 1) * h
+        hidden_ops = (2 * h - 1) * ur + (2 * ur - 1) * h
+        state = (input_ops + hidden_ops + n + h + 3 * h
+                 + (2 * wr - 1) * n + h + (2 * ur - 1) * h + h + h)
+        expected = state * 4 + 3 * h + h
+        assert lstm_cell_flops(n, h, wr, ur) == expected
+
+    def test_vanilla_flops(self):
+        from vmlmf_tpu.utils.analytics import lstm_cell_flops
+
+        n, h = 77, 180
+        state = (2 * n - 1) * h + (2 * h - 1) * h + h + h
+        expected = state * 4 + 3 * h + h
+        assert lstm_cell_flops(n, h, vm=False) == expected

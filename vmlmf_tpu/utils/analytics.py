@@ -1,0 +1,78 @@
+"""Compression analytics: parameter counts and the closed-form FLOP model.
+
+Parity with
+`/root/reference/rnn_compression_factorization_vmlmf/src/utils/compression_cal.py:33-145`:
+`lstm_cell_flops` reproduces `_count_lstm_cell`'s formula term by term
+(low-rank matmuls + diagonal ops + correction additions, ×4 gates, plus the
+state-update elementwise ops), and `model_flops` the per-layer × seq_len ×
+batch accumulation of `count_lstm` + `count_linear`.  These numbers are the
+reference's own compression metric; they are reported alongside measured
+wall-clock throughput (which the reference never reports — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+def count_params(params) -> int:
+    return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))
+
+
+def lstm_cell_flops(input_size, hidden_size, w_rank=None, u_rank=None, *,
+                    vm=True, bias=True) -> int:
+    """FLOPs of one timestep of one cell (`compression_cal.py:72-113`).
+
+    ``vm=False`` gives the vanilla-LSTM count; with ranks set it counts the
+    factorized matmuls, the diagonal (vm) multiplies, and the correction adds.
+    """
+    if isinstance(u_rank, (list, tuple)):
+        u_rank = u_rank[0]
+    isvm = vm and w_rank is not None
+
+    if isvm:
+        input_ops = (2 * input_size - 1) * w_rank + (2 * w_rank - 1) * hidden_size
+        hidden_ops = (2 * hidden_size - 1) * u_rank + (2 * u_rank - 1) * hidden_size
+        input_dia = input_size
+        hidden_dia = hidden_size
+        input_add = (2 * w_rank - 1) * input_size + hidden_size
+        hidden_add = (2 * u_rank - 1) * hidden_size + hidden_size
+        state_ops = (input_ops + hidden_ops + input_dia + hidden_dia
+                     + hidden_size * 3 + input_add + hidden_add)
+    else:
+        input_ops = (2 * input_size - 1) * hidden_size
+        hidden_ops = (2 * hidden_size - 1) * hidden_size
+        state_ops = input_ops + hidden_ops + hidden_size
+    if bias:
+        state_ops += hidden_size
+    total = state_ops * 4
+    total += hidden_size * 3  # f*c + i*g
+    total += hidden_size      # o * tanh(c')
+    return total
+
+
+def model_flops(input_size, layer_sizes, seq_len, batch_size, *,
+                w_rank=None, u_rank=None, vm=True, num_classes=18) -> int:
+    """Whole-model analytic FLOPs (`count_lstm` + `count_linear`)."""
+    total = 0
+    in_size = input_size
+    for h in layer_sizes:
+        total += lstm_cell_flops(in_size, h, w_rank, u_rank, vm=vm)
+        in_size = h
+    total *= seq_len * batch_size
+    total += layer_sizes[-1] * num_classes * 2  # classifier head
+    return total
+
+
+def compression_report(baseline_params, compressed_params, *,
+                       baseline_flops=None, compressed_flops=None) -> dict:
+    rep = {
+        "params_baseline_K": baseline_params / 1e3,
+        "params_compressed_K": compressed_params / 1e3,
+        "compression_ratio": baseline_params / max(compressed_params, 1),
+    }
+    if baseline_flops is not None and compressed_flops is not None:
+        rep["flops_baseline_M"] = baseline_flops / 1e6
+        rep["flops_compressed_M"] = compressed_flops / 1e6
+        rep["flops_ratio"] = baseline_flops / max(compressed_flops, 1)
+    return rep
