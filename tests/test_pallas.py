@@ -1,0 +1,99 @@
+"""Fused Pallas scan kernel: forward + gradient parity vs the XLA scan path.
+
+Runs in interpreter mode on the CPU test mesh; the same kernels compile on
+TPU (exercised by bench.py and the TPU verify runs).  Forward must match the
+XLA path to fp32 tolerance; the custom-VJP backward must match XLA autodiff
+through the scan for every input (gi, U, V, dvec, h0, c0) — the oracle
+SURVEY.md §7 calls out as hard part #1.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vmlmf_tpu.cells import DualDiagonalLSTMCell, LSTMCell, VMLMFCell
+from vmlmf_tpu.nn.recurrence import scan_layer
+
+KEY = jax.random.PRNGKey(0)
+
+
+CASES = [
+    ("vmlmf", VMLMFCell(77, 180, w_rank=8, u_rank=6), 24, 9),
+    ("vmlmf_sq", VMLMFCell(64, 64, w_rank=16, u_rank=16), 7, 4),
+    ("lstm_dense", LSTMCell(16, 40), 5, 3),
+    ("lstm_lowrank", LSTMCell(16, 40, w_rank=8, u_rank=8), 5, 3),
+    ("dualdiag", DualDiagonalLSTMCell(16, 40, w_rank=8, u_rank=8), 5, 3),
+]
+
+
+@pytest.mark.parametrize("name,cell,t,b", CASES, ids=[c[0] for c in CASES])
+class TestFusedScanParity:
+    def _setup(self, cell, t, b):
+        params = cell.init(KEY)
+        xs = jax.random.normal(jax.random.PRNGKey(1), (t, b, cell.input_size))
+        k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+        h0 = 0.3 * jax.random.normal(k1, (b, cell.hidden_size))
+        c0 = 0.3 * jax.random.normal(k2, (b, cell.hidden_size))
+        return params, xs, (h0, c0)
+
+    def test_forward_parity(self, name, cell, t, b):
+        params, xs, s0 = self._setup(cell, t, b)
+        prep = cell.prepare(params)
+        ys_x, (h_x, c_x) = scan_layer(cell, prep, xs, s0, backend="xla")
+        ys_p, (h_p, c_p) = scan_layer(cell, prep, xs, s0, backend="pallas")
+        np.testing.assert_allclose(ys_p, ys_x, atol=2e-5, rtol=2e-5)
+        np.testing.assert_allclose(h_p, h_x, atol=2e-5, rtol=2e-5)
+        np.testing.assert_allclose(c_p, c_x, atol=2e-5, rtol=2e-5)
+
+    def test_gradient_parity(self, name, cell, t, b):
+        params, xs, s0 = self._setup(cell, t, b)
+        w_out = jax.random.normal(jax.random.PRNGKey(3), (t, b, cell.hidden_size))
+
+        def loss(params, xs, s0, backend):
+            prep = cell.prepare(params)
+            ys, (h, c) = scan_layer(cell, prep, xs, s0, backend=backend)
+            # touch ys, final h AND final c so every cotangent path is live
+            return jnp.sum(ys * w_out) + jnp.sum(jnp.tanh(h)) + 0.5 * jnp.sum(c * c)
+
+        gx = jax.grad(loss, argnums=(0, 1, 2))(params, xs, s0, "xla")
+        gp = jax.grad(loss, argnums=(0, 1, 2))(params, xs, s0, "pallas")
+        for a, b_ in zip(jax.tree_util.tree_leaves(gx), jax.tree_util.tree_leaves(gp)):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=3e-4, rtol=3e-4)
+
+    def test_reverse_parity(self, name, cell, t, b):
+        params, xs, s0 = self._setup(cell, t, b)
+        prep = cell.prepare(params)
+        ys_x, (h_x, c_x) = scan_layer(cell, prep, xs, s0, backend="xla", reverse=True)
+        ys_p, (h_p, c_p) = scan_layer(cell, prep, xs, s0, backend="pallas", reverse=True)
+        np.testing.assert_allclose(ys_p, ys_x, atol=2e-5, rtol=2e-5)
+        np.testing.assert_allclose(h_p, h_x, atol=2e-5, rtol=2e-5)
+        np.testing.assert_allclose(c_p, c_x, atol=2e-5, rtol=2e-5)
+
+
+class TestFusedModels:
+    def test_harnet_pallas_matches_xla(self):
+        from vmlmf_tpu.nn.models import HARNet
+
+        factory = lambda n, h: VMLMFCell(n, h, w_rank=8, u_rank=6)
+        m_x = HARNet(input_size=9, layer_sizes=(32, 32), cell_factory=factory,
+                     num_classes=6, backend="xla")
+        m_p = HARNet(input_size=9, layer_sizes=(32, 32), cell_factory=factory,
+                     num_classes=6, backend="pallas")
+        params = m_x.init(KEY)
+        x = jax.random.normal(jax.random.PRNGKey(1), (5, 12, 9))
+        np.testing.assert_allclose(m_p.apply(params, x), m_x.apply(params, x),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_group_cell_falls_back_to_xla(self):
+        """Cells without a fused mapping must run unchanged under backend=pallas."""
+        from vmlmf_tpu.cells import VMLMFGroupCell
+
+        cell = VMLMFGroupCell(9, 32, w_rank=4, u_ranks=(2, 2), groups=2)
+        params = cell.init(KEY)
+        prep = cell.prepare(params)
+        xs = jax.random.normal(jax.random.PRNGKey(1), (5, 3, 9))
+        s0 = cell.state0(3)
+        ys_x, _ = scan_layer(cell, prep, xs, s0, backend="xla")
+        ys_p, _ = scan_layer(cell, prep, xs, s0, backend="pallas")
+        np.testing.assert_allclose(ys_p, ys_x, atol=1e-6)

@@ -94,6 +94,13 @@ class DualDiagonalLSTMCell(Cell):
         h_next, c_next = lstm_update(gi_t + gr.reshape(*gr.shape[:-2], 4 * hdim), c)
         return (h_next, c_next), h_next
 
+    def fused_rec_inputs(self, prep):
+        """(u, v, dvec): recurrence is h @ U + h ⊙ diag_u (diag ADDED)."""
+        dvec = prep["diag_u"].reshape(-1)
+        if self.u_rank is None:
+            return prep["u"], None, dvec
+        return prep["u_fac"], prep["u_proj"], dvec
+
 
 @dataclasses.dataclass(frozen=True)
 class DiagonalLSTMCell(Cell):

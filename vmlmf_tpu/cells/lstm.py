@@ -63,6 +63,15 @@ class LSTMCell(Cell):
         h_next, c_next = lstm_update(gi_t + gr, c)
         return (h_next, c_next), h_next
 
+    def fused_rec_inputs(self, prep):
+        """(u, v, dvec) for the fused Pallas scan (dvec unused -> zeros)."""
+        import jax.numpy as jnp
+
+        zeros = jnp.zeros((4 * self.hidden_size,), jnp.float32)
+        if self.u_rank is None:
+            return prep["u"], None, zeros
+        return prep["u_fac"], prep["u_proj"], zeros
+
     def dense_w(self, params):
         """[4h, n] stacked input matrix (oracle for parity tests)."""
         if self.w_rank is None:

@@ -84,3 +84,9 @@ class VMLMFCell(Cell):
         pre = gi_t + gr.reshape(*gr.shape[:-2], 4 * hdim)
         h_next, c_next = lstm_update(pre, c)
         return (h_next, c_next), h_next
+
+    def fused_rec_inputs(self, prep):
+        """(u, v, dvec) for the fused Pallas scan: recurrence is
+        h @ (u_h v_hᵀ) + h ⊙ (d_h - dcorr_h) per gate."""
+        dvec = (prep["d_h"][None, :] - prep["dcorr_h"]).reshape(-1)
+        return prep["u_h"], prep["v_h"].T, dvec

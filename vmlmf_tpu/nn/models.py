@@ -44,10 +44,11 @@ class HARNet:
     cell_factory: dataclasses.InitVar = None
     num_classes: int = 18
     unroll: int = 8
+    backend: str = "xla"
 
     def __post_init__(self, cell_factory):
         cells = _make_cells(cell_factory, self.input_size, self.layer_sizes)
-        object.__setattr__(self, "rnn", RNN(cells, unroll=self.unroll))
+        object.__setattr__(self, "rnn", RNN(cells, unroll=self.unroll, backend=self.backend))
         object.__setattr__(
             self, "head", Dense(self.layer_sizes[-1], self.num_classes, bias_fill=0.1)
         )
@@ -79,12 +80,13 @@ class BDNet:
     num_classes: int = 18
     merge: str = "concat"  # concat | sum | avg
     unroll: int = 8
+    backend: str = "xla"
 
     def __post_init__(self, cell_factory):
         cells_f = _make_cells(cell_factory, self.input_size, self.layer_sizes)
         cells_r = _make_cells(cell_factory, self.input_size, self.layer_sizes)
-        object.__setattr__(self, "rnn_f", RNN(cells_f, unroll=self.unroll))
-        object.__setattr__(self, "rnn_r", RNN(cells_r, unroll=self.unroll))
+        object.__setattr__(self, "rnn_f", RNN(cells_f, unroll=self.unroll, backend=self.backend))
+        object.__setattr__(self, "rnn_r", RNN(cells_r, unroll=self.unroll, backend=self.backend))
         head_in = self.layer_sizes[-1] * (2 if self.merge == "concat" else 1)
         object.__setattr__(self, "head", Dense(head_in, self.num_classes, bias_fill=0.1))
 
@@ -121,13 +123,14 @@ class DeepConvNet:
     num_classes: int = 18
     channels: int = 64
     unroll: int = 8
+    backend: str = "xla"
 
     def __post_init__(self, cell_factory):
         conv = ConvFeatures(channels=self.channels)
         object.__setattr__(self, "conv", conv)
         feat = self.channels * self.input_size
         cells = _make_cells(cell_factory, feat, self.layer_sizes)
-        object.__setattr__(self, "rnn", RNN(cells, unroll=self.unroll))
+        object.__setattr__(self, "rnn", RNN(cells, unroll=self.unroll, backend=self.backend))
         object.__setattr__(
             self, "head", Dense(self.layer_sizes[-1], self.num_classes, bias_fill=0.1)
         )
@@ -169,13 +172,14 @@ class LMModel:
     dropout_rate: float = 0.5
     winit: float = 0.05
     tie_embeddings: bool = False
+    backend: str = "xla"
 
     def __post_init__(self, cell_factory):
         object.__setattr__(self, "embed", Embed(self.vocab_size, self.hidden_size))
         cells = tuple(
             cell_factory(self.hidden_size, self.hidden_size) for _ in range(self.num_layers)
         )
-        object.__setattr__(self, "rnn", RNN(cells))
+        object.__setattr__(self, "rnn", RNN(cells, backend=self.backend))
         object.__setattr__(self, "fc", Dense(self.hidden_size, self.vocab_size))
 
     def init(self, key, dtype=jnp.float32):
@@ -204,7 +208,7 @@ class LMModel:
         new_states = []
         for i, (cell, p) in enumerate(zip(self.rnn.cells, params["rnn"])):
             prep = cell.prepare(p)
-            x, sf = scan_layer(cell, prep, x, states[i])
+            x, sf = scan_layer(cell, prep, x, states[i], backend=self.backend)
             new_states.append(sf)
             ki = keys[1 + i]
             x = dropout(ki, x, self.dropout_rate, det or ki is None)

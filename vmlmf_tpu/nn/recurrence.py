@@ -18,14 +18,47 @@ batch-major input (the HAR layout) via ``time_major=False``.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
 
 
-def scan_layer(cell, prep, xs, state0, *, reverse=False, unroll=1):
-    """Run one cell over time-major ``xs [T, B, n]`` -> (ys [T, B, h], state)."""
+def _pallas_available(cell, state0):
+    return hasattr(cell, "fused_rec_inputs") and isinstance(state0, tuple)
+
+
+def _use_interpret():
+    """Pallas kernels run compiled on TPU, interpreted elsewhere (CPU tests)."""
+    if os.environ.get("VMLMF_PALLAS_INTERPRET"):
+        return os.environ["VMLMF_PALLAS_INTERPRET"] == "1"
+    return jax.default_backend() != "tpu"
+
+
+def scan_layer(cell, prep, xs, state0, *, reverse=False, unroll=1, backend="xla"):
+    """Run one cell over time-major ``xs [T, B, n]`` -> (ys [T, B, h], state).
+
+    backend="pallas" routes LSTM-family cells through the fused whole-scan
+    kernel (`vmlmf_tpu.ops.pallas_scan`); cells without a fused mapping (and
+    non-LSTM states) fall back to the XLA scan transparently.
+    """
     gi = cell.inp(prep, xs)  # [T, B, G*h] — hoisted, time-parallel
+
+    if backend == "pallas" and _pallas_available(cell, state0):
+        from vmlmf_tpu.ops.pallas_scan import lstm_scan_fused
+
+        fri = cell.fused_rec_inputs(prep)
+        if fri is not None:
+            u, v, dvec = fri
+            if reverse:
+                gi = jnp.flip(gi, axis=0)
+            h0, c0 = state0
+            ys, c_last = lstm_scan_fused(gi, u, v, dvec, h0, c0,
+                                         interpret=_use_interpret())
+            h_last = ys[-1]
+            if reverse:
+                ys = jnp.flip(ys, axis=0)
+            return ys, (h_last, c_last)
 
     def body(state, gi_t):
         state, out = cell.step(prep, gi_t, state)
@@ -47,6 +80,7 @@ class RNN:
 
     cells: tuple
     unroll: int = 1
+    backend: str = "xla"  # "xla" | "pallas" (fused whole-scan kernel)
 
     def init(self, key, dtype=jnp.float32):
         keys = jax.random.split(key, len(self.cells))
@@ -65,7 +99,8 @@ class RNN:
         finals = []
         for cell, p, s0 in zip(self.cells, params, states):
             prep = cell.prepare(p)
-            xs, sf = scan_layer(cell, prep, xs, s0, reverse=reverse, unroll=self.unroll)
+            xs, sf = scan_layer(cell, prep, xs, s0, reverse=reverse,
+                                unroll=self.unroll, backend=self.backend)
             finals.append(sf)
         if not time_major:
             xs = jnp.swapaxes(xs, 0, 1)

@@ -1,0 +1,331 @@
+"""Fused Pallas recurrence kernels: the whole LSTM time loop in one kernel.
+
+The hot serial path of every cell in this framework is
+
+    for t in 0..T-1:
+        pre_t = gi[t] + h @ U @ V (+ h ⊙ dvec per gate)     # rank-r recurrent
+        h, c  = lstm_update(pre_t, c)
+
+XLA's `lax.scan` re-materializes the recurrent factors from HBM on every
+iteration and pays per-step loop overhead.  These kernels instead run the
+*entire* scan inside one `pallas_call` with a sequential grid over T:
+
+  * U, V, dvec and the (h, c) carry live in VMEM scratch across all steps —
+    the factors are read from HBM exactly once per scan,
+  * the per-step `gi[t]` block is streamed via the grid BlockSpec, which
+    Pallas double-buffers automatically (DMA of step t+1 overlaps compute of
+    step t),
+  * the gate nonlinearities + state update are VPU epilogue ops fused behind
+    the two MXU matmuls.
+
+A custom VJP pairs it with a reverse-grid backward kernel that recomputes the
+gate pre-activations from the saved hidden/cell sequences (one extra rank-r
+matmul per step) and accumulates dU, dV, ddvec in VMEM — BPTT memory is
+O(T·B·h) for the saved states, never O(T·B·4h) for gates.
+
+Covers cells whose recurrence is ``h @ (U V) + h ⊙ dvec``: VMLMFCell
+(U=u_h, V=v_hᵀ, dvec=d_h − dcorr_h), low-rank LSTMCell (dvec=0), and dense
+LSTMCell (V=None → single matmul variant).  Group cells keep the XLA einsum
+path.  Reference behavior being replaced: the per-timestep Python dispatch at
+`/root/reference/rnn_compression_factorization_vmlmf/src/models/vmlmf.py:308-310`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _pad_to(x, shape):
+    pads = [(0, s - d) for d, s in zip(x.shape, shape)]
+    if all(p == (0, 0) for p in pads):
+        return x
+    return jnp.pad(x, pads)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(gi_ref, u_ref, v_ref, dvec_ref, h0_ref, c0_ref,
+                ys_ref, cs_ref, h_s, c_s, *, hp, lowrank):
+    """One grid step = one timestep.  h_s/c_s scratch carries the state."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_s[:] = h0_ref[:]
+        c_s[:] = c0_ref[:]
+
+    h = h_s[:]
+    c = c_s[:]
+    if lowrank:
+        hu = jnp.dot(h, u_ref[:], preferred_element_type=jnp.float32)
+        gr = jnp.dot(hu, v_ref[:], preferred_element_type=jnp.float32)
+    else:
+        gr = jnp.dot(h, u_ref[:], preferred_element_type=jnp.float32)
+    htile = jnp.concatenate([h, h, h, h], axis=-1)
+    pre = gi_ref[0] + gr + htile * dvec_ref[:]
+
+    i = jax.nn.sigmoid(pre[:, :hp])
+    f = jax.nn.sigmoid(pre[:, hp:2 * hp])
+    g = jnp.tanh(pre[:, 2 * hp:3 * hp])
+    o = jax.nn.sigmoid(pre[:, 3 * hp:])
+    c_next = f * c + i * g
+    h_next = o * jnp.tanh(c_next)
+
+    h_s[:] = h_next
+    c_s[:] = c_next
+    ys_ref[0] = h_next
+    cs_ref[0] = c_next
+
+
+def _fwd_call(gi, u, v, dvec, h0, c0, *, lowrank, interpret):
+    t, bp, fourhp = gi.shape
+    hp = fourhp // 4
+    grid = (t,)
+    const = lambda tt: (0, 0)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, hp=hp, lowrank=lowrank),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bp, fourhp), lambda tt: (tt, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(u.shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(v.shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(dvec.shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(h0.shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(c0.shape, const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bp, hp), lambda tt: (tt, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bp, hp), lambda tt: (tt, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, bp, hp), jnp.float32),
+            jax.ShapeDtypeStruct((t, bp, hp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bp, hp), jnp.float32),
+            pltpu.VMEM((bp, hp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(gi, u, v, dvec, h0, c0)
+    return out  # ys, cs
+
+
+# ---------------------------------------------------------------------------
+# backward kernel (reverse grid)
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(gi_ref, u_ref, v_ref, dvec_ref, hprev_ref, cprev_ref, cs_ref,
+                dys_ref, dcs_ref,
+                dgi_ref, du_ref, dv_ref, ddvec_ref, dh0_ref, dc0_ref,
+                dh_s, dc_s, du_s, dv_s, ddvec_s, *, hp, lowrank):
+    """Grid step k processes timestep t = T-1-k (reverse-time BPTT)."""
+    k = pl.program_id(0)
+    nt = pl.num_programs(0)
+
+    @pl.when(k == 0)
+    def _():
+        dh_s[:] = jnp.zeros_like(dh_s)
+        dc_s[:] = jnp.zeros_like(dc_s)
+        du_s[:] = jnp.zeros_like(du_s)
+        dv_s[:] = jnp.zeros_like(dv_s)
+        ddvec_s[:] = jnp.zeros_like(ddvec_s)
+
+    h_prev = hprev_ref[0]
+    c_prev = cprev_ref[0]
+    c_t = cs_ref[0]
+
+    # recompute pre-activations (forward math, one extra matmul)
+    if lowrank:
+        hu = jnp.dot(h_prev, u_ref[:], preferred_element_type=jnp.float32)
+        gr = jnp.dot(hu, v_ref[:], preferred_element_type=jnp.float32)
+    else:
+        gr = jnp.dot(h_prev, u_ref[:], preferred_element_type=jnp.float32)
+    htile = jnp.concatenate([h_prev] * 4, axis=-1)
+    pre = gi_ref[0] + gr + htile * dvec_ref[:]
+    i = jax.nn.sigmoid(pre[:, :hp])
+    f = jax.nn.sigmoid(pre[:, hp:2 * hp])
+    g = jnp.tanh(pre[:, 2 * hp:3 * hp])
+    o = jax.nn.sigmoid(pre[:, 3 * hp:])
+
+    dh = dh_s[:] + dys_ref[0]
+    tanh_c = jnp.tanh(c_t)
+    do = dh * tanh_c
+    dc = dc_s[:] + dcs_ref[0] + dh * o * (1.0 - tanh_c * tanh_c)
+    di = dc * g
+    df = dc * c_prev
+    dg = dc * i
+    dc_prev = dc * f
+
+    dpre = jnp.concatenate([
+        di * i * (1.0 - i),
+        df * f * (1.0 - f),
+        dg * (1.0 - g * g),
+        do * o * (1.0 - o),
+    ], axis=-1)
+
+    dgi_ref[0] = dpre
+
+    # dvec path: dh_prev += sum_g dpre_g * dvec_g ; ddvec += sum_b dpre * h_prev
+    dv_term = dpre * dvec_ref[:]
+    dh_prev = (dv_term[:, :hp] + dv_term[:, hp:2 * hp]
+               + dv_term[:, 2 * hp:3 * hp] + dv_term[:, 3 * hp:])
+    ddvec_s[:] += jnp.sum(dpre * htile, axis=0, keepdims=True)
+
+    if lowrank:
+        # dh_prev += (dpre @ V^T) @ U^T ; dU += h^T (dpre V^T); dV += (hU)^T dpre
+        dhu = jnp.dot(dpre, v_ref[:].T, preferred_element_type=jnp.float32)
+        dh_prev = dh_prev + jnp.dot(dhu, u_ref[:].T, preferred_element_type=jnp.float32)
+        du_s[:] += jnp.dot(h_prev.T, dhu, preferred_element_type=jnp.float32)
+        dv_s[:] += jnp.dot(hu.T, dpre, preferred_element_type=jnp.float32)
+    else:
+        dh_prev = dh_prev + jnp.dot(dpre, u_ref[:].T, preferred_element_type=jnp.float32)
+        du_s[:] += jnp.dot(h_prev.T, dpre, preferred_element_type=jnp.float32)
+
+    dh_s[:] = dh_prev
+    dc_s[:] = dc_prev
+
+    @pl.when(k == nt - 1)
+    def _():
+        du_ref[:] = du_s[:]
+        dv_ref[:] = dv_s[:]
+        ddvec_ref[:] = ddvec_s[:]
+        dh0_ref[:] = dh_s[:]
+        dc0_ref[:] = dc_s[:]
+
+
+def _bwd_call(gi, u, v, dvec, hprev, cprev, cs, dys, dcs, *, lowrank, interpret):
+    t, bp, fourhp = gi.shape
+    hp = fourhp // 4
+    rev = lambda k: (t - 1 - k, 0, 0)
+    const = lambda k: (0, 0)
+    du_shape = u.shape
+    dv_shape = v.shape
+    out = pl.pallas_call(
+        functools.partial(_bwd_kernel, hp=hp, lowrank=lowrank),
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, bp, fourhp), rev, memory_space=pltpu.VMEM),   # gi
+            pl.BlockSpec(u.shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(v.shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(dvec.shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bp, hp), rev, memory_space=pltpu.VMEM),       # h_{t-1}
+            pl.BlockSpec((1, bp, hp), rev, memory_space=pltpu.VMEM),       # c_{t-1}
+            pl.BlockSpec((1, bp, hp), rev, memory_space=pltpu.VMEM),       # c_t
+            pl.BlockSpec((1, bp, hp), rev, memory_space=pltpu.VMEM),       # dys_t
+            pl.BlockSpec((1, bp, hp), rev, memory_space=pltpu.VMEM),       # dcs_t
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bp, fourhp), rev, memory_space=pltpu.VMEM),   # dgi
+            pl.BlockSpec(du_shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(dv_shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(dvec.shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, hp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, hp), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, bp, fourhp), jnp.float32),
+            jax.ShapeDtypeStruct(du_shape, jnp.float32),
+            jax.ShapeDtypeStruct(dv_shape, jnp.float32),
+            jax.ShapeDtypeStruct(dvec.shape, jnp.float32),
+            jax.ShapeDtypeStruct((bp, hp), jnp.float32),
+            jax.ShapeDtypeStruct((bp, hp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bp, hp), jnp.float32),      # dh carry
+            pltpu.VMEM((bp, hp), jnp.float32),      # dc carry
+            pltpu.VMEM(du_shape, jnp.float32),      # dU accumulator
+            pltpu.VMEM(dv_shape, jnp.float32),      # dV accumulator
+            pltpu.VMEM(dvec.shape, jnp.float32),    # ddvec accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(gi, u, v, dvec, hprev, cprev, cs, dys, dcs)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# public entry: padded, differentiable scan
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _scan_core(gi, u, v, dvec, h0, c0, lowrank, interpret):
+    ys, cs = _fwd_call(gi, u, v, dvec, h0, c0, lowrank=lowrank, interpret=interpret)
+    return ys, cs
+
+
+def _scan_core_fwd(gi, u, v, dvec, h0, c0, lowrank, interpret):
+    ys, cs = _fwd_call(gi, u, v, dvec, h0, c0, lowrank=lowrank, interpret=interpret)
+    return (ys, cs), (gi, u, v, dvec, h0, c0, ys, cs)
+
+
+def _scan_core_bwd(lowrank, interpret, res, cts):
+    dys, dcs = cts
+    gi, u, v, dvec, h0, c0, ys, cs = res
+    hprev = jnp.concatenate([h0[None], ys[:-1]], axis=0)
+    cprev = jnp.concatenate([c0[None], cs[:-1]], axis=0)
+    dgi, du, dv, ddvec, dh0, dc0 = _bwd_call(
+        gi, u, v, dvec, hprev, cprev, cs, dys, dcs,
+        lowrank=lowrank, interpret=interpret)
+    return dgi, du, dv, ddvec, dh0, dc0
+
+
+_scan_core.defvjp(_scan_core_fwd, _scan_core_bwd)
+
+
+def lstm_scan_fused(gi, u, v, dvec, h0, c0, *, interpret=False):
+    """Fused LSTM scan.  gi: [T, B, 4h] (input contributions, gate order
+    i,f,g,o); u: [h, r] with v: [r, 4h] (low-rank) or u: [h, 4h] with v=None
+    (dense); dvec: [4h] elementwise recurrent diagonal (zeros if unused);
+    h0, c0: [B, h].  Returns (ys [T, B, h], c_last [B, h]).
+
+    Gradients flow to every input via the paired backward kernel.  Shapes are
+    padded to TPU tiles internally (B -> mult of 8, h -> mult of 128, r ->
+    mult of 128); zero padding is exact for this recurrence (zero rows/cols
+    stay zero through sigmoid gating because c0 pads are zero).
+    """
+    t, b, fourh = gi.shape
+    h = fourh // 4
+    lowrank = v is not None
+    bp = _round_up(b, 8)
+    hp = _round_up(h, 128)
+
+    # re-layout gate blocks to padded positions: [T,B,4,h] -> [T,Bp,4,hp]
+    gi4 = _pad_to(gi.reshape(t, b, 4, h), (t, bp, 4, hp)).reshape(t, bp, 4 * hp)
+    dvec4 = _pad_to(dvec.reshape(4, h), (4, hp)).reshape(1, 4 * hp)
+    h0p = _pad_to(h0, (bp, hp))
+    c0p = _pad_to(c0, (bp, hp))
+    if lowrank:
+        r = u.shape[1]
+        rp = _round_up(r, 128)
+        up = _pad_to(u, (hp, rp))
+        vp = _pad_to(v.reshape(r, 4, h), (rp, 4, hp)).reshape(rp, 4 * hp)
+    else:
+        up = _pad_to(u.reshape(h, 4, h), (hp, 4, hp)).reshape(hp, 4 * hp)
+        vp = jnp.zeros((8, 128), jnp.float32)  # unused placeholder
+
+    ys, cs = _scan_core(gi4, up, vp, dvec4, h0p, c0p, lowrank, interpret)
+    return ys[:, :b, :h], cs[-1, :b, :h]
+
+
+def vmlmf_rec_inputs(prep, hidden_size):
+    """Map a VMLMFCell prep dict onto (u, v, dvec) for the fused kernel."""
+    u = prep["u_h"]                      # [h, r]
+    v = prep["v_h"].T                    # [r, 4h]
+    dvec = (prep["d_h"][None, :] - prep["dcorr_h"]).reshape(-1)  # [4h]
+    return u, v, dvec
