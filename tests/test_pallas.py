@@ -71,6 +71,37 @@ class TestFusedScanParity:
         np.testing.assert_allclose(c_p, c_x, atol=2e-5, rtol=2e-5)
 
 
+class TestBf16Precision:
+    """bf16 matmul path: same recurrence within bf16 rounding tolerance."""
+
+    def test_bf16_close_to_f32(self):
+        cell = VMLMFCell(64, 64, w_rank=16, u_rank=16)
+        params = cell.init(KEY)
+        prep = cell.prepare(params)
+        xs = jax.random.normal(jax.random.PRNGKey(1), (7, 4, 64))
+        s0 = (jnp.zeros((4, 64)), jnp.zeros((4, 64)))
+        ys_x, _ = scan_layer(cell, prep, xs, s0, backend="xla")
+        ys_b, _ = scan_layer(cell, prep, xs, s0, backend="pallas", precision="bf16")
+        np.testing.assert_allclose(ys_b, ys_x, atol=5e-3, rtol=5e-3)
+
+    def test_bf16_gradients_finite_and_close(self):
+        cell = VMLMFCell(32, 32, w_rank=8, u_rank=8)
+        params = cell.init(KEY)
+        xs = jax.random.normal(jax.random.PRNGKey(1), (5, 3, 32))
+        s0 = (jnp.zeros((3, 32)), jnp.zeros((3, 32)))
+
+        def loss(params, backend, prec):
+            prep = cell.prepare(params)
+            ys, _ = scan_layer(cell, prep, xs, s0, backend=backend, precision=prec)
+            return jnp.sum(ys ** 2)
+
+        gx = jax.grad(loss)(params, "xla", None)
+        gb = jax.grad(loss)(params, "pallas", "bf16")
+        for a, b in zip(jax.tree_util.tree_leaves(gx), jax.tree_util.tree_leaves(gb)):
+            assert np.all(np.isfinite(b))
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-2, rtol=5e-2)
+
+
 class TestFusedModels:
     def test_harnet_pallas_matches_xla(self):
         from vmlmf_tpu.nn.models import HARNet

@@ -27,9 +27,11 @@ def batch_iterator(x, y, batch_size, *, shuffle, drop_last, seed=None, epoch=0):
         rng = np.random.default_rng(None if seed is None else seed * 100003 + epoch)
         rng.shuffle(idx)
     end = (n // batch_size) * batch_size if drop_last else n
+    from vmlmf_tpu.data import _native
+
     for s in range(0, end, batch_size):
         b = idx[s : s + batch_size]
-        yield x[b], y[b]
+        yield _native.gather_rows(x, b), _native.gather_rows(y, b)
 
 
 def pad_last_batch(x, y, batch_size):

@@ -44,11 +44,9 @@ def load_opp(folder):
 
 
 def _parse_signal_file(path):
-    rows = []
-    with open(path, encoding="utf-8") as f:
-        for line in f:
-            rows.append(np.fromstring(line.replace("  ", " ").strip(), sep=" ", dtype=np.float32))
-    return np.stack(rows)
+    from vmlmf_tpu.data import _native
+
+    return np.atleast_2d(_native.loadtxt(path)).astype(np.float32)
 
 
 def load_uci(folder):

@@ -13,12 +13,12 @@ pandas); behavior-equivalent outputs.
 
 from __future__ import annotations
 
-import io
 import os
 import zipfile
 
 import numpy as np
 
+from vmlmf_tpu.data import _native
 from vmlmf_tpu.data.sliding_window import window_series
 
 NB_SENSOR_CHANNELS = 77
@@ -116,8 +116,9 @@ def process_file(raw, task="gestures"):
     y_out = np.zeros_like(y) if task == "gestures" else y.copy()
     for raw_label, cls in mapping.items():
         y_out[y == raw_label] = cls
-    x = interpolate_nan(x)
-    x = normalize(x)
+    x = _native.interp_nan_f32(x)
+    x = _native.norm_clamp_f32(x, np.asarray(NORM_MIN, np.float32),
+                               np.asarray(NORM_MAX, np.float32))
     return x, y_out.astype(np.int32)
 
 
@@ -131,7 +132,7 @@ def generate_npy(zip_path, out_dir, task="gestures"):
             for fn in files:
                 member = f"OpportunityUCIDataset/dataset/{fn}"
                 try:
-                    raw = np.loadtxt(io.BytesIO(zf.read(member)))
+                    raw = np.atleast_2d(_native.loadtxt(zf.read(member)))
                 except KeyError:
                     continue
                 x, y = process_file(raw, task)

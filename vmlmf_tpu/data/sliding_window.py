@@ -20,6 +20,11 @@ def sliding_window(a: np.ndarray, window: int, step: int) -> np.ndarray:
     """
     if len(a) < window:
         return np.empty((0, window) + a.shape[1:], a.dtype)
+    if a.ndim == 2 and a.dtype == np.float32 and a.flags.c_contiguous:
+        from vmlmf_tpu.data import _native
+
+        if _native.get_lib() is not None:  # native memcpy path
+            return _native.sliding_window_f32(a, window, step)
     view = np.lib.stride_tricks.sliding_window_view(a, window, axis=0)
     # sliding_window_view puts the window axis last; move next to batch
     view = np.moveaxis(view, -1, 1)

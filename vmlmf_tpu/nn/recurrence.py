@@ -35,12 +35,16 @@ def _use_interpret():
     return jax.default_backend() != "tpu"
 
 
-def scan_layer(cell, prep, xs, state0, *, reverse=False, unroll=1, backend="xla"):
+def scan_layer(cell, prep, xs, state0, *, reverse=False, unroll=1, backend="xla",
+               precision=None):
     """Run one cell over time-major ``xs [T, B, n]`` -> (ys [T, B, h], state).
 
     backend="pallas" routes LSTM-family cells through the fused whole-scan
     kernel (`vmlmf_tpu.ops.pallas_scan`); cells without a fused mapping (and
     non-LSTM states) fall back to the XLA scan transparently.
+    precision="bf16" runs the fused kernel's recurrent matmuls in single-pass
+    bf16 with f32 accumulation (fastest MXU path); default "f32" matches the
+    XLA scan bit-for-bit.  Env override: VMLMF_PALLAS_PRECISION.
     """
     gi = cell.inp(prep, xs)  # [T, B, G*h] — hoisted, time-parallel
 
@@ -53,8 +57,10 @@ def scan_layer(cell, prep, xs, state0, *, reverse=False, unroll=1, backend="xla"
             if reverse:
                 gi = jnp.flip(gi, axis=0)
             h0, c0 = state0
+            prec = precision or os.environ.get("VMLMF_PALLAS_PRECISION", "f32")
             ys, c_last = lstm_scan_fused(gi, u, v, dvec, h0, c0,
-                                         interpret=_use_interpret())
+                                         interpret=_use_interpret(),
+                                         precision=prec)
             h_last = ys[-1]
             if reverse:
                 ys = jnp.flip(ys, axis=0)
@@ -81,6 +87,7 @@ class RNN:
     cells: tuple
     unroll: int = 1
     backend: str = "xla"  # "xla" | "pallas" (fused whole-scan kernel)
+    precision: str | None = None  # fused-kernel matmul precision: f32 | bf16
 
     def init(self, key, dtype=jnp.float32):
         keys = jax.random.split(key, len(self.cells))
@@ -100,7 +107,8 @@ class RNN:
         for cell, p, s0 in zip(self.cells, params, states):
             prep = cell.prepare(p)
             xs, sf = scan_layer(cell, prep, xs, s0, reverse=reverse,
-                                unroll=self.unroll, backend=self.backend)
+                                unroll=self.unroll, backend=self.backend,
+                                precision=self.precision)
             finals.append(sf)
         if not time_major:
             xs = jnp.swapaxes(xs, 0, 1)

@@ -16,7 +16,9 @@ iteration and pays per-step loop overhead.  These kernels instead run the
     Pallas double-buffers automatically (DMA of step t+1 overlaps compute of
     step t),
   * the gate nonlinearities + state update are VPU epilogue ops fused behind
-    the two MXU matmuls.
+    the two MXU matmuls,
+  * large batches are tiled over an outer grid dimension (the recurrence is
+    embarrassingly parallel in batch), keeping VMEM bounded at any B.
 
 A custom VJP pairs it with a reverse-grid backward kernel that recomputes the
 gate pre-activations from the saved hidden/cell sequences (one extra rank-r
@@ -24,9 +26,10 @@ matmul per step) and accumulates dU, dV, ddvec in VMEM — BPTT memory is
 O(T·B·h) for the saved states, never O(T·B·4h) for gates.
 
 Covers cells whose recurrence is ``h @ (U V) + h ⊙ dvec``: VMLMFCell
-(U=u_h, V=v_hᵀ, dvec=d_h − dcorr_h), low-rank LSTMCell (dvec=0), and dense
-LSTMCell (V=None → single matmul variant).  Group cells keep the XLA einsum
-path.  Reference behavior being replaced: the per-timestep Python dispatch at
+(U=u_h, V=v_hᵀ, dvec=d_h − dcorr_h), low-rank LSTMCell (dvec=0), dense
+LSTMCell (V=None → single matmul variant), and DualDiagonalLSTMCell.  Group
+cells keep the XLA einsum path.  Reference behavior being replaced: the
+per-timestep Python dispatch at
 `/root/reference/rnn_compression_factorization_vmlmf/src/models/vmlmf.py:308-310`.
 """
 
@@ -51,14 +54,30 @@ def _pad_to(x, shape):
     return jnp.pad(x, pads)
 
 
+def _pick_batch_tile(bp, fixed_bytes, per_row_bytes, budget=48 * 1024 * 1024):
+    """Largest multiple-of-8 batch tile whose VMEM estimate fits the budget."""
+    bt = bp
+    while bt > 8 and fixed_bytes + per_row_bytes * bt > budget:
+        bt = _round_up(bt // 2, 8)
+    return bt
+
+
+def _compiler_params(est_bytes):
+    return pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary"),
+        vmem_limit_bytes=min(int(est_bytes * 1.5) + (4 << 20), 110 << 20),
+    )
+
+
 # ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(gi_ref, u_ref, v_ref, dvec_ref, h0_ref, c0_ref,
-                ys_ref, cs_ref, h_s, c_s, *, hp, lowrank):
-    """One grid step = one timestep.  h_s/c_s scratch carries the state."""
-    t = pl.program_id(0)
+                ys_ref, cs_ref, h_s, c_s, *, hp, lowrank, bf16):
+    """Grid (batch_blocks, T); t is the minor (fastest) dim, so each batch
+    block sweeps t = 0..T-1 with the (h, c) carry in scratch."""
+    t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
@@ -67,11 +86,13 @@ def _fwd_kernel(gi_ref, u_ref, v_ref, dvec_ref, h0_ref, c0_ref,
 
     h = h_s[:]
     c = c_s[:]
+    h_mm = h.astype(jnp.bfloat16) if bf16 else h  # u/v refs arrive pre-cast
     if lowrank:
-        hu = jnp.dot(h, u_ref[:], preferred_element_type=jnp.float32)
+        hu = jnp.dot(h_mm, u_ref[:], preferred_element_type=jnp.float32)
+        hu = hu.astype(jnp.bfloat16) if bf16 else hu
         gr = jnp.dot(hu, v_ref[:], preferred_element_type=jnp.float32)
     else:
-        gr = jnp.dot(h, u_ref[:], preferred_element_type=jnp.float32)
+        gr = jnp.dot(h_mm, u_ref[:], preferred_element_type=jnp.float32)
     htile = jnp.concatenate([h, h, h, h], axis=-1)
     pre = gi_ref[0] + gr + htile * dvec_ref[:]
 
@@ -88,40 +109,52 @@ def _fwd_kernel(gi_ref, u_ref, v_ref, dvec_ref, h0_ref, c0_ref,
     cs_ref[0] = c_next
 
 
-def _fwd_call(gi, u, v, dvec, h0, c0, *, lowrank, interpret):
+def _fwd_call(gi, u, v, dvec, h0, c0, *, lowrank, interpret, bf16):
     t, bp, fourhp = gi.shape
     hp = fourhp // 4
-    grid = (t,)
-    const = lambda tt: (0, 0)
+    f32 = 4
+    fixed = (u.size + v.size + dvec.size) * f32
+    per_row = (2 * fourhp + 6 * hp) * f32  # gi + dgi-less fwd: gi, ys, cs, h0, c0, 2×scratch
+    bt = _pick_batch_tile(bp, fixed, per_row)
+    nb = bp // bt if bp % bt == 0 else -(-bp // bt)
+    gi = _pad_to(gi, (t, nb * bt, fourhp))
+    h0 = _pad_to(h0, (nb * bt, hp))
+    c0 = _pad_to(c0, (nb * bt, hp))
+    if bf16:
+        u = u.astype(jnp.bfloat16)
+        v = v.astype(jnp.bfloat16)
+
+    step = lambda b, tt: (tt, b, 0)
+    row = lambda b, tt: (b, 0)
+    const = lambda b, tt: (0, 0)
+    est = fixed + per_row * bt
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, hp=hp, lowrank=lowrank),
-        grid=grid,
+        functools.partial(_fwd_kernel, hp=hp, lowrank=lowrank, bf16=bf16),
+        grid=(nb, t),
         in_specs=[
-            pl.BlockSpec((1, bp, fourhp), lambda tt: (tt, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, fourhp), step, memory_space=pltpu.VMEM),
             pl.BlockSpec(u.shape, const, memory_space=pltpu.VMEM),
             pl.BlockSpec(v.shape, const, memory_space=pltpu.VMEM),
             pl.BlockSpec(dvec.shape, const, memory_space=pltpu.VMEM),
-            pl.BlockSpec(h0.shape, const, memory_space=pltpu.VMEM),
-            pl.BlockSpec(c0.shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, hp), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, hp), row, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, bp, hp), lambda tt: (tt, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bp, hp), lambda tt: (tt, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, hp), step, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, hp), step, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, bp, hp), jnp.float32),
-            jax.ShapeDtypeStruct((t, bp, hp), jnp.float32),
+            jax.ShapeDtypeStruct((t, nb * bt, hp), jnp.float32),
+            jax.ShapeDtypeStruct((t, nb * bt, hp), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bp, hp), jnp.float32),
-            pltpu.VMEM((bp, hp), jnp.float32),
+            pltpu.VMEM((bt, hp), jnp.float32),
+            pltpu.VMEM((bt, hp), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
+        compiler_params=_compiler_params(est),
         interpret=interpret,
     )(gi, u, v, dvec, h0, c0)
-    return out  # ys, cs
+    return out[0][:, :bp], out[1][:, :bp]  # ys, cs
 
 
 # ---------------------------------------------------------------------------
@@ -131,29 +164,37 @@ def _fwd_call(gi, u, v, dvec, h0, c0, *, lowrank, interpret):
 def _bwd_kernel(gi_ref, u_ref, v_ref, dvec_ref, hprev_ref, cprev_ref, cs_ref,
                 dys_ref, dcs_ref,
                 dgi_ref, du_ref, dv_ref, ddvec_ref, dh0_ref, dc0_ref,
-                dh_s, dc_s, du_s, dv_s, ddvec_s, *, hp, lowrank):
-    """Grid step k processes timestep t = T-1-k (reverse-time BPTT)."""
-    k = pl.program_id(0)
-    nt = pl.num_programs(0)
+                dh_s, dc_s, du_s, dv_s, ddvec_s, *, hp, lowrank, bf16):
+    """Grid (batch_blocks, T); step k of batch block b processes timestep
+    t = T-1-k.  dU/dV/ddvec accumulate in scratch across ALL grid steps."""
+    b = pl.program_id(0)
+    k = pl.program_id(1)
+    nb = pl.num_programs(0)
+    nt = pl.num_programs(1)
+
+    @pl.when(jnp.logical_and(b == 0, k == 0))
+    def _():
+        du_s[:] = jnp.zeros_like(du_s)
+        dv_s[:] = jnp.zeros_like(dv_s)
+        ddvec_s[:] = jnp.zeros_like(ddvec_s)
 
     @pl.when(k == 0)
     def _():
         dh_s[:] = jnp.zeros_like(dh_s)
         dc_s[:] = jnp.zeros_like(dc_s)
-        du_s[:] = jnp.zeros_like(du_s)
-        dv_s[:] = jnp.zeros_like(dv_s)
-        ddvec_s[:] = jnp.zeros_like(ddvec_s)
 
     h_prev = hprev_ref[0]
     c_prev = cprev_ref[0]
     c_t = cs_ref[0]
 
     # recompute pre-activations (forward math, one extra matmul)
+    h_mm = h_prev.astype(jnp.bfloat16) if bf16 else h_prev
     if lowrank:
-        hu = jnp.dot(h_prev, u_ref[:], preferred_element_type=jnp.float32)
-        gr = jnp.dot(hu, v_ref[:], preferred_element_type=jnp.float32)
+        hu = jnp.dot(h_mm, u_ref[:], preferred_element_type=jnp.float32)
+        hu_mm = hu.astype(jnp.bfloat16) if bf16 else hu
+        gr = jnp.dot(hu_mm, v_ref[:], preferred_element_type=jnp.float32)
     else:
-        gr = jnp.dot(h_prev, u_ref[:], preferred_element_type=jnp.float32)
+        gr = jnp.dot(h_mm, u_ref[:], preferred_element_type=jnp.float32)
     htile = jnp.concatenate([h_prev] * 4, axis=-1)
     pre = gi_ref[0] + gr + htile * dvec_ref[:]
     i = jax.nn.sigmoid(pre[:, :hp])
@@ -185,110 +226,133 @@ def _bwd_kernel(gi_ref, u_ref, v_ref, dvec_ref, hprev_ref, cprev_ref, cs_ref,
                + dv_term[:, 2 * hp:3 * hp] + dv_term[:, 3 * hp:])
     ddvec_s[:] += jnp.sum(dpre * htile, axis=0, keepdims=True)
 
+    dpre_mm = dpre.astype(jnp.bfloat16) if bf16 else dpre
     if lowrank:
         # dh_prev += (dpre @ V^T) @ U^T ; dU += h^T (dpre V^T); dV += (hU)^T dpre
-        dhu = jnp.dot(dpre, v_ref[:].T, preferred_element_type=jnp.float32)
-        dh_prev = dh_prev + jnp.dot(dhu, u_ref[:].T, preferred_element_type=jnp.float32)
-        du_s[:] += jnp.dot(h_prev.T, dhu, preferred_element_type=jnp.float32)
-        dv_s[:] += jnp.dot(hu.T, dpre, preferred_element_type=jnp.float32)
+        dhu = jnp.dot(dpre_mm, v_ref[:].T, preferred_element_type=jnp.float32)
+        dhu_mm = dhu.astype(jnp.bfloat16) if bf16 else dhu
+        dh_prev = dh_prev + jnp.dot(dhu_mm, u_ref[:].T, preferred_element_type=jnp.float32)
+        du_s[:] += jnp.dot(h_mm.T, dhu_mm, preferred_element_type=jnp.float32)
+        dv_s[:] += jnp.dot((hu_mm if bf16 else hu).T, dpre_mm, preferred_element_type=jnp.float32)
     else:
-        dh_prev = dh_prev + jnp.dot(dpre, u_ref[:].T, preferred_element_type=jnp.float32)
-        du_s[:] += jnp.dot(h_prev.T, dpre, preferred_element_type=jnp.float32)
+        dh_prev = dh_prev + jnp.dot(dpre_mm, u_ref[:].T, preferred_element_type=jnp.float32)
+        du_s[:] += jnp.dot(h_mm.T, dpre_mm, preferred_element_type=jnp.float32)
 
     dh_s[:] = dh_prev
     dc_s[:] = dc_prev
 
     @pl.when(k == nt - 1)
     def _():
-        du_ref[:] = du_s[:]
-        dv_ref[:] = dv_s[:]
-        ddvec_ref[:] = ddvec_s[:]
         dh0_ref[:] = dh_s[:]
         dc0_ref[:] = dc_s[:]
 
+    @pl.when(jnp.logical_and(b == nb - 1, k == nt - 1))
+    def _():
+        du_ref[:] = du_s[:]
+        dv_ref[:] = dv_s[:]
+        ddvec_ref[:] = ddvec_s[:]
 
-def _bwd_call(gi, u, v, dvec, hprev, cprev, cs, dys, dcs, *, lowrank, interpret):
+
+def _bwd_call(gi, u, v, dvec, hprev, cprev, cs, dys, dcs, *, lowrank, interpret, bf16):
     t, bp, fourhp = gi.shape
     hp = fourhp // 4
-    rev = lambda k: (t - 1 - k, 0, 0)
-    const = lambda k: (0, 0)
-    du_shape = u.shape
-    dv_shape = v.shape
+    f32 = 4
+    fixed = 2 * (u.size + v.size + dvec.size) * f32 + (u.size + v.size + dvec.size) * f32
+    per_row = (2 * fourhp + 9 * hp) * f32  # gi+dgi blocks, 5 state blocks, 2 carries, dh0/dc0
+    bt = _pick_batch_tile(bp, fixed, per_row)
+    nb = bp // bt if bp % bt == 0 else -(-bp // bt)
+    bpad = nb * bt
+    gi = _pad_to(gi, (t, bpad, fourhp))
+    hprev = _pad_to(hprev, (t, bpad, hp))
+    cprev = _pad_to(cprev, (t, bpad, hp))
+    cs = _pad_to(cs, (t, bpad, hp))
+    dys = _pad_to(dys, (t, bpad, hp))
+    dcs = _pad_to(dcs, (t, bpad, hp))
+    if bf16:
+        u = u.astype(jnp.bfloat16)
+        v = v.astype(jnp.bfloat16)
+
+    rev = lambda b, k: (t - 1 - k, b, 0)
+    row = lambda b, k: (b, 0)
+    const = lambda b, k: (0, 0)
+    est = fixed + per_row * bt
     out = pl.pallas_call(
-        functools.partial(_bwd_kernel, hp=hp, lowrank=lowrank),
-        grid=(t,),
+        functools.partial(_bwd_kernel, hp=hp, lowrank=lowrank, bf16=bf16),
+        grid=(nb, t),
         in_specs=[
-            pl.BlockSpec((1, bp, fourhp), rev, memory_space=pltpu.VMEM),   # gi
+            pl.BlockSpec((1, bt, fourhp), rev, memory_space=pltpu.VMEM),   # gi
             pl.BlockSpec(u.shape, const, memory_space=pltpu.VMEM),
             pl.BlockSpec(v.shape, const, memory_space=pltpu.VMEM),
             pl.BlockSpec(dvec.shape, const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bp, hp), rev, memory_space=pltpu.VMEM),       # h_{t-1}
-            pl.BlockSpec((1, bp, hp), rev, memory_space=pltpu.VMEM),       # c_{t-1}
-            pl.BlockSpec((1, bp, hp), rev, memory_space=pltpu.VMEM),       # c_t
-            pl.BlockSpec((1, bp, hp), rev, memory_space=pltpu.VMEM),       # dys_t
-            pl.BlockSpec((1, bp, hp), rev, memory_space=pltpu.VMEM),       # dcs_t
+            pl.BlockSpec((1, bt, hp), rev, memory_space=pltpu.VMEM),       # h_{t-1}
+            pl.BlockSpec((1, bt, hp), rev, memory_space=pltpu.VMEM),       # c_{t-1}
+            pl.BlockSpec((1, bt, hp), rev, memory_space=pltpu.VMEM),       # c_t
+            pl.BlockSpec((1, bt, hp), rev, memory_space=pltpu.VMEM),       # dys_t
+            pl.BlockSpec((1, bt, hp), rev, memory_space=pltpu.VMEM),       # dcs_t
         ],
         out_specs=[
-            pl.BlockSpec((1, bp, fourhp), rev, memory_space=pltpu.VMEM),   # dgi
-            pl.BlockSpec(du_shape, const, memory_space=pltpu.VMEM),
-            pl.BlockSpec(dv_shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, fourhp), rev, memory_space=pltpu.VMEM),   # dgi
+            pl.BlockSpec(u.shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(v.shape, const, memory_space=pltpu.VMEM),
             pl.BlockSpec(dvec.shape, const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bp, hp), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bp, hp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, hp), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, hp), row, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, bp, fourhp), jnp.float32),
-            jax.ShapeDtypeStruct(du_shape, jnp.float32),
-            jax.ShapeDtypeStruct(dv_shape, jnp.float32),
+            jax.ShapeDtypeStruct((t, bpad, fourhp), jnp.float32),
+            jax.ShapeDtypeStruct(u.shape, jnp.float32),
+            jax.ShapeDtypeStruct(v.shape, jnp.float32),
             jax.ShapeDtypeStruct(dvec.shape, jnp.float32),
-            jax.ShapeDtypeStruct((bp, hp), jnp.float32),
-            jax.ShapeDtypeStruct((bp, hp), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, hp), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, hp), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bp, hp), jnp.float32),      # dh carry
-            pltpu.VMEM((bp, hp), jnp.float32),      # dc carry
-            pltpu.VMEM(du_shape, jnp.float32),      # dU accumulator
-            pltpu.VMEM(dv_shape, jnp.float32),      # dV accumulator
+            pltpu.VMEM((bt, hp), jnp.float32),      # dh carry
+            pltpu.VMEM((bt, hp), jnp.float32),      # dc carry
+            pltpu.VMEM(u.shape, jnp.float32),       # dU accumulator
+            pltpu.VMEM(v.shape, jnp.float32),       # dV accumulator
             pltpu.VMEM(dvec.shape, jnp.float32),    # ddvec accumulator
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
+        compiler_params=_compiler_params(est),
         interpret=interpret,
     )(gi, u, v, dvec, hprev, cprev, cs, dys, dcs)
-    return out
+    dgi, du, dv, ddvec, dh0, dc0 = out
+    return dgi[:, :bp], du, dv, ddvec, dh0[:bp], dc0[:bp]
 
 
 # ---------------------------------------------------------------------------
 # public entry: padded, differentiable scan
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _scan_core(gi, u, v, dvec, h0, c0, lowrank, interpret):
-    ys, cs = _fwd_call(gi, u, v, dvec, h0, c0, lowrank=lowrank, interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _scan_core(gi, u, v, dvec, h0, c0, lowrank, interpret, bf16):
+    ys, cs = _fwd_call(gi, u, v, dvec, h0, c0, lowrank=lowrank,
+                       interpret=interpret, bf16=bf16)
     return ys, cs
 
 
-def _scan_core_fwd(gi, u, v, dvec, h0, c0, lowrank, interpret):
-    ys, cs = _fwd_call(gi, u, v, dvec, h0, c0, lowrank=lowrank, interpret=interpret)
+def _scan_core_fwd(gi, u, v, dvec, h0, c0, lowrank, interpret, bf16):
+    ys, cs = _fwd_call(gi, u, v, dvec, h0, c0, lowrank=lowrank,
+                       interpret=interpret, bf16=bf16)
     return (ys, cs), (gi, u, v, dvec, h0, c0, ys, cs)
 
 
-def _scan_core_bwd(lowrank, interpret, res, cts):
+def _scan_core_bwd(lowrank, interpret, bf16, res, cts):
     dys, dcs = cts
     gi, u, v, dvec, h0, c0, ys, cs = res
     hprev = jnp.concatenate([h0[None], ys[:-1]], axis=0)
     cprev = jnp.concatenate([c0[None], cs[:-1]], axis=0)
     dgi, du, dv, ddvec, dh0, dc0 = _bwd_call(
         gi, u, v, dvec, hprev, cprev, cs, dys, dcs,
-        lowrank=lowrank, interpret=interpret)
+        lowrank=lowrank, interpret=interpret, bf16=bf16)
     return dgi, du, dv, ddvec, dh0, dc0
 
 
 _scan_core.defvjp(_scan_core_fwd, _scan_core_bwd)
 
 
-def lstm_scan_fused(gi, u, v, dvec, h0, c0, *, interpret=False):
+def lstm_scan_fused(gi, u, v, dvec, h0, c0, *, interpret=False,
+                    precision="f32"):
     """Fused LSTM scan.  gi: [T, B, 4h] (input contributions, gate order
     i,f,g,o); u: [h, r] with v: [r, 4h] (low-rank) or u: [h, 4h] with v=None
     (dense); dvec: [4h] elementwise recurrent diagonal (zeros if unused);
@@ -319,7 +383,8 @@ def lstm_scan_fused(gi, u, v, dvec, h0, c0, *, interpret=False):
         up = _pad_to(u.reshape(h, 4, h), (hp, 4, hp)).reshape(hp, 4 * hp)
         vp = jnp.zeros((8, 128), jnp.float32)  # unused placeholder
 
-    ys, cs = _scan_core(gi4, up, vp, dvec4, h0p, c0p, lowrank, interpret)
+    bf16 = precision == "bf16"
+    ys, cs = _scan_core(gi4, up, vp, dvec4, h0p, c0p, lowrank, interpret, bf16)
     return ys[:, :b, :h], cs[-1, :b, :h]
 
 
