@@ -78,14 +78,16 @@ def main():
     xs = jax.random.normal(jax.random.PRNGKey(0), (fuse, batch, t, feats))
     ys = jax.random.randint(jax.random.PRNGKey(1), (fuse, batch), 0, 18)
 
-    # production path: epoch-fused scan over batches
+    # production path: epoch-fused scan over batches.
+    # NOTE: block on every dispatch — with the async runtime, blocking only on
+    # the last call's output under-measures (queued work is not yet executed).
     p, o, _ = trainer._fused_steps(params, opt_state, xs, ys)  # compile
     jax.block_until_ready(p)
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         p, o, losses = trainer._fused_steps(p, o, xs, ys)
-    jax.block_until_ready(losses)
+        jax.block_until_ready(losses)
     sec_per_batch = (time.perf_counter() - t0) / (iters * fuse)
     seq_per_sec = batch / sec_per_batch
 
@@ -100,7 +102,7 @@ def main():
     t0 = time.perf_counter()
     for i in range(50):
         pn, on, loss = naive_step(pn, on, xs[i % fuse], ys[i % fuse])
-    jax.block_until_ready(loss)
+        jax.block_until_ready(loss)
     sec_naive = (time.perf_counter() - t0) / 50
 
     print(json.dumps({

@@ -160,3 +160,49 @@ class TestAnalytics:
         state = (2 * n - 1) * h + (2 * h - 1) * h + h + h
         expected = state * 4 + 3 * h + h
         assert lstm_cell_flops(n, h, vm=False) == expected
+
+
+class TestFusionEquivalence:
+    """Epoch/chunk fusion must be a pure execution-strategy change: fused and
+    per-step paths produce identical parameters and losses."""
+
+    def test_har_fused_steps_match_per_batch(self):
+        model = _tiny_har_model()
+        tr = HARTrainer(model, learning_rate=1e-2, batch_size=8, fuse_batches=4)
+        params, opt = tr.init()
+        xs = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 12, 9))
+        ys = jax.random.randint(jax.random.PRNGKey(2), (4, 8), 0, 6)
+
+        pf, of, losses_f = tr._fused_steps(params, opt, xs, ys)
+        p2, o2 = tr.init()
+        losses_s = []
+        for i in range(4):
+            p2, o2, l = tr._train_step(p2, o2, xs[i], ys[i])
+            losses_s.append(float(l))
+        np.testing.assert_allclose(np.asarray(losses_f), losses_s, rtol=2e-5, atol=2e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(pf), jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+    def test_lm_fused_chunks_match_per_chunk(self):
+        model = LMModel(vocab_size=40, hidden_size=16, num_layers=1,
+                        cell_factory=lambda n, h: VMLMFCell(n, h, w_rank=4, u_rank=4),
+                        dropout_rate=0.0, winit=0.05)
+        tr = LMTrainer(model, batch_size=4, seq_length=5, fuse_chunks=3)
+        params = tr.init()
+        states = model.state0(4)
+        xs = jax.random.randint(jax.random.PRNGKey(1), (3, 5, 4), 0, 40)
+        ys = jax.random.randint(jax.random.PRNGKey(2), (3, 5, 4), 0, 40)
+        lr = jnp.float32(0.5)
+        rng = jax.random.PRNGKey(7)
+
+        pf, sf, losses_f, _ = tr._fused_chunks(params, states, xs, ys, lr, rng)
+        p2 = tr.init()
+        s2 = model.state0(4)
+        keys = jax.random.split(rng, 3)
+        losses_s = []
+        for i in range(3):
+            p2, s2, l, _ = tr._train_step(p2, s2, xs[i], ys[i], lr, keys[i])
+            losses_s.append(float(l))
+        np.testing.assert_allclose(np.asarray(losses_f), losses_s, rtol=2e-5, atol=2e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(pf), jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)

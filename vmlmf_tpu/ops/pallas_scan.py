@@ -54,18 +54,45 @@ def _pad_to(x, shape):
     return jnp.pad(x, pads)
 
 
-def _pick_batch_tile(bp, fixed_bytes, per_row_bytes, budget=48 * 1024 * 1024):
-    """Largest multiple-of-8 batch tile whose VMEM estimate fits the budget."""
-    bt = bp
-    while bt > 8 and fixed_bytes + per_row_bytes * bt > budget:
-        bt = _round_up(bt // 2, 8)
-    return bt
+def _pick_time_block(t, cap=8):
+    """Timesteps handled per grid step (static inner loop): the largest
+    divisor of T up to `cap`.  Amortizes per-grid-step overhead (~tens of µs)
+    across several recurrence steps; must divide T so no state-mutating
+    padding steps are ever executed."""
+    for s in range(min(cap, t), 0, -1):
+        if t % s == 0:
+            return s
+    return 1
 
 
-def _compiler_params(est_bytes):
+def _pick_tiles(t, bp, fourhp, *, live, budget=80 * 1024 * 1024):
+    """Jointly choose (sblk timesteps, bt batch rows) per grid step.
+
+    The static inner loop is unrolled by the compiler, which keeps ~`live`
+    [bt, 4h] f32 temporaries per unrolled step on the kernel stack (measured
+    empirically), so sblk·bt is VMEM-bounded.  Among configurations that fit,
+    minimize the number of grid steps (bp/bt)·(t/sblk), i.e. maximize
+    sblk·bt; tie-break toward larger bt (batch rows amortize matmul issue
+    latency better than unrolled steps do)."""
+    best = None
+    sblk = _pick_time_block(t)
+    while True:
+        bt = bp
+        while bt > 8 and live * sblk * bt * fourhp * 4 > budget:
+            bt = _round_up(bt // 2, 8)
+        if live * sblk * bt * fourhp * 4 <= budget or sblk == 1:
+            key = (sblk * bt, bt)
+            if best is None or key > best[0]:
+                best = (key, sblk, bt)
+        if sblk == 1:
+            return best[1], best[2]
+        sblk = _pick_time_block(t, sblk - 1)
+
+
+def _compiler_params():
     return pltpu.CompilerParams(
         dimension_semantics=("arbitrary", "arbitrary"),
-        vmem_limit_bytes=min(int(est_bytes * 1.5) + (4 << 20), 110 << 20),
+        vmem_limit_bytes=116 << 20,  # v5e VMEM is 128M; leave headroom
     )
 
 
@@ -74,48 +101,47 @@ def _compiler_params(est_bytes):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(gi_ref, u_ref, v_ref, dvec_ref, h0_ref, c0_ref,
-                ys_ref, cs_ref, h_s, c_s, *, hp, lowrank, bf16):
-    """Grid (batch_blocks, T); t is the minor (fastest) dim, so each batch
-    block sweeps t = 0..T-1 with the (h, c) carry in scratch."""
-    t = pl.program_id(1)
+                ys_ref, cs_ref, h_s, c_s, *, hp, lowrank, bf16, sblk):
+    """Grid (batch_blocks, T // sblk); the minor grid dim walks time, each
+    grid step running `sblk` recurrence steps (static inner loop) with the
+    (h, c) carry in scratch."""
+    k = pl.program_id(1)
 
-    @pl.when(t == 0)
+    @pl.when(k == 0)
     def _():
         h_s[:] = h0_ref[:]
         c_s[:] = c0_ref[:]
 
     h = h_s[:]
     c = c_s[:]
-    h_mm = h.astype(jnp.bfloat16) if bf16 else h  # u/v refs arrive pre-cast
-    if lowrank:
-        hu = jnp.dot(h_mm, u_ref[:], preferred_element_type=jnp.float32)
-        hu = hu.astype(jnp.bfloat16) if bf16 else hu
-        gr = jnp.dot(hu, v_ref[:], preferred_element_type=jnp.float32)
-    else:
-        gr = jnp.dot(h_mm, u_ref[:], preferred_element_type=jnp.float32)
-    htile = jnp.concatenate([h, h, h, h], axis=-1)
-    pre = gi_ref[0] + gr + htile * dvec_ref[:]
+    for st in range(sblk):
+        h_mm = h.astype(jnp.bfloat16) if bf16 else h  # u/v refs arrive pre-cast
+        if lowrank:
+            hu = jnp.dot(h_mm, u_ref[:], preferred_element_type=jnp.float32)
+            hu = hu.astype(jnp.bfloat16) if bf16 else hu
+            gr = jnp.dot(hu, v_ref[:], preferred_element_type=jnp.float32)
+        else:
+            gr = jnp.dot(h_mm, u_ref[:], preferred_element_type=jnp.float32)
+        htile = jnp.concatenate([h, h, h, h], axis=-1)
+        pre = gi_ref[st] + gr + htile * dvec_ref[:]
 
-    i = jax.nn.sigmoid(pre[:, :hp])
-    f = jax.nn.sigmoid(pre[:, hp:2 * hp])
-    g = jnp.tanh(pre[:, 2 * hp:3 * hp])
-    o = jax.nn.sigmoid(pre[:, 3 * hp:])
-    c_next = f * c + i * g
-    h_next = o * jnp.tanh(c_next)
+        i = jax.nn.sigmoid(pre[:, :hp])
+        f = jax.nn.sigmoid(pre[:, hp:2 * hp])
+        g = jnp.tanh(pre[:, 2 * hp:3 * hp])
+        o = jax.nn.sigmoid(pre[:, 3 * hp:])
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        ys_ref[st] = h
+        cs_ref[st] = c
 
-    h_s[:] = h_next
-    c_s[:] = c_next
-    ys_ref[0] = h_next
-    cs_ref[0] = c_next
+    h_s[:] = h
+    c_s[:] = c
 
 
 def _fwd_call(gi, u, v, dvec, h0, c0, *, lowrank, interpret, bf16):
     t, bp, fourhp = gi.shape
     hp = fourhp // 4
-    f32 = 4
-    fixed = (u.size + v.size + dvec.size) * f32
-    per_row = (2 * fourhp + 6 * hp) * f32  # gi + dgi-less fwd: gi, ys, cs, h0, c0, 2×scratch
-    bt = _pick_batch_tile(bp, fixed, per_row)
+    sblk, bt = _pick_tiles(t, bp, fourhp, live=8)
     nb = bp // bt if bp % bt == 0 else -(-bp // bt)
     gi = _pad_to(gi, (t, nb * bt, fourhp))
     h0 = _pad_to(h0, (nb * bt, hp))
@@ -127,12 +153,12 @@ def _fwd_call(gi, u, v, dvec, h0, c0, *, lowrank, interpret, bf16):
     step = lambda b, tt: (tt, b, 0)
     row = lambda b, tt: (b, 0)
     const = lambda b, tt: (0, 0)
-    est = fixed + per_row * bt
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, hp=hp, lowrank=lowrank, bf16=bf16),
-        grid=(nb, t),
+        functools.partial(_fwd_kernel, hp=hp, lowrank=lowrank, bf16=bf16,
+                          sblk=sblk),
+        grid=(nb, t // sblk),
         in_specs=[
-            pl.BlockSpec((1, bt, fourhp), step, memory_space=pltpu.VMEM),
+            pl.BlockSpec((sblk, bt, fourhp), step, memory_space=pltpu.VMEM),
             pl.BlockSpec(u.shape, const, memory_space=pltpu.VMEM),
             pl.BlockSpec(v.shape, const, memory_space=pltpu.VMEM),
             pl.BlockSpec(dvec.shape, const, memory_space=pltpu.VMEM),
@@ -140,8 +166,8 @@ def _fwd_call(gi, u, v, dvec, h0, c0, *, lowrank, interpret, bf16):
             pl.BlockSpec((bt, hp), row, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, bt, hp), step, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt, hp), step, memory_space=pltpu.VMEM),
+            pl.BlockSpec((sblk, bt, hp), step, memory_space=pltpu.VMEM),
+            pl.BlockSpec((sblk, bt, hp), step, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t, nb * bt, hp), jnp.float32),
@@ -151,7 +177,7 @@ def _fwd_call(gi, u, v, dvec, h0, c0, *, lowrank, interpret, bf16):
             pltpu.VMEM((bt, hp), jnp.float32),
             pltpu.VMEM((bt, hp), jnp.float32),
         ],
-        compiler_params=_compiler_params(est),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(gi, u, v, dvec, h0, c0)
     return out[0][:, :bp], out[1][:, :bp]  # ys, cs
@@ -164,9 +190,10 @@ def _fwd_call(gi, u, v, dvec, h0, c0, *, lowrank, interpret, bf16):
 def _bwd_kernel(gi_ref, u_ref, v_ref, dvec_ref, hprev_ref, cprev_ref, cs_ref,
                 dys_ref, dcs_ref,
                 dgi_ref, du_ref, dv_ref, ddvec_ref, dh0_ref, dc0_ref,
-                dh_s, dc_s, du_s, dv_s, ddvec_s, *, hp, lowrank, bf16):
-    """Grid (batch_blocks, T); step k of batch block b processes timestep
-    t = T-1-k.  dU/dV/ddvec accumulate in scratch across ALL grid steps."""
+                dh_s, dc_s, du_s, dv_s, ddvec_s, *, hp, lowrank, bf16, sblk):
+    """Grid (batch_blocks, T // sblk); grid step k of batch block b processes
+    the time block [T - (k+1)·sblk, T - k·sblk) in reverse inside a static
+    loop.  dU/dV/ddvec accumulate in scratch across ALL grid steps."""
     b = pl.program_id(0)
     k = pl.program_id(1)
     nb = pl.num_programs(0)
@@ -183,63 +210,80 @@ def _bwd_kernel(gi_ref, u_ref, v_ref, dvec_ref, hprev_ref, cprev_ref, cs_ref,
         dh_s[:] = jnp.zeros_like(dh_s)
         dc_s[:] = jnp.zeros_like(dc_s)
 
-    h_prev = hprev_ref[0]
-    c_prev = cprev_ref[0]
-    c_t = cs_ref[0]
+    dh_carry = dh_s[:]
+    dc_carry = dc_s[:]
+    du_acc = dv_acc = ddvec_acc = None
 
-    # recompute pre-activations (forward math, one extra matmul)
-    h_mm = h_prev.astype(jnp.bfloat16) if bf16 else h_prev
-    if lowrank:
-        hu = jnp.dot(h_mm, u_ref[:], preferred_element_type=jnp.float32)
-        hu_mm = hu.astype(jnp.bfloat16) if bf16 else hu
-        gr = jnp.dot(hu_mm, v_ref[:], preferred_element_type=jnp.float32)
-    else:
-        gr = jnp.dot(h_mm, u_ref[:], preferred_element_type=jnp.float32)
-    htile = jnp.concatenate([h_prev] * 4, axis=-1)
-    pre = gi_ref[0] + gr + htile * dvec_ref[:]
-    i = jax.nn.sigmoid(pre[:, :hp])
-    f = jax.nn.sigmoid(pre[:, hp:2 * hp])
-    g = jnp.tanh(pre[:, 2 * hp:3 * hp])
-    o = jax.nn.sigmoid(pre[:, 3 * hp:])
+    for st in range(sblk - 1, -1, -1):
+        h_prev = hprev_ref[st]
+        c_prev = cprev_ref[st]
+        c_t = cs_ref[st]
 
-    dh = dh_s[:] + dys_ref[0]
-    tanh_c = jnp.tanh(c_t)
-    do = dh * tanh_c
-    dc = dc_s[:] + dcs_ref[0] + dh * o * (1.0 - tanh_c * tanh_c)
-    di = dc * g
-    df = dc * c_prev
-    dg = dc * i
-    dc_prev = dc * f
+        # recompute pre-activations (forward math, one extra matmul)
+        h_mm = h_prev.astype(jnp.bfloat16) if bf16 else h_prev
+        if lowrank:
+            hu = jnp.dot(h_mm, u_ref[:], preferred_element_type=jnp.float32)
+            hu_mm = hu.astype(jnp.bfloat16) if bf16 else hu
+            gr = jnp.dot(hu_mm, v_ref[:], preferred_element_type=jnp.float32)
+        else:
+            gr = jnp.dot(h_mm, u_ref[:], preferred_element_type=jnp.float32)
+        htile = jnp.concatenate([h_prev] * 4, axis=-1)
+        pre = gi_ref[st] + gr + htile * dvec_ref[:]
+        i = jax.nn.sigmoid(pre[:, :hp])
+        f = jax.nn.sigmoid(pre[:, hp:2 * hp])
+        g = jnp.tanh(pre[:, 2 * hp:3 * hp])
+        o = jax.nn.sigmoid(pre[:, 3 * hp:])
 
-    dpre = jnp.concatenate([
-        di * i * (1.0 - i),
-        df * f * (1.0 - f),
-        dg * (1.0 - g * g),
-        do * o * (1.0 - o),
-    ], axis=-1)
+        dh = dh_carry + dys_ref[st]
+        tanh_c = jnp.tanh(c_t)
+        do = dh * tanh_c
+        dc = dc_carry + dcs_ref[st] + dh * o * (1.0 - tanh_c * tanh_c)
+        di = dc * g
+        df = dc * c_prev
+        dg = dc * i
+        dc_carry = dc * f
 
-    dgi_ref[0] = dpre
+        dpre = jnp.concatenate([
+            di * i * (1.0 - i),
+            df * f * (1.0 - f),
+            dg * (1.0 - g * g),
+            do * o * (1.0 - o),
+        ], axis=-1)
 
-    # dvec path: dh_prev += sum_g dpre_g * dvec_g ; ddvec += sum_b dpre * h_prev
-    dv_term = dpre * dvec_ref[:]
-    dh_prev = (dv_term[:, :hp] + dv_term[:, hp:2 * hp]
-               + dv_term[:, 2 * hp:3 * hp] + dv_term[:, 3 * hp:])
-    ddvec_s[:] += jnp.sum(dpre * htile, axis=0, keepdims=True)
+        dgi_ref[st] = dpre
 
-    dpre_mm = dpre.astype(jnp.bfloat16) if bf16 else dpre
-    if lowrank:
-        # dh_prev += (dpre @ V^T) @ U^T ; dU += h^T (dpre V^T); dV += (hU)^T dpre
-        dhu = jnp.dot(dpre_mm, v_ref[:].T, preferred_element_type=jnp.float32)
-        dhu_mm = dhu.astype(jnp.bfloat16) if bf16 else dhu
-        dh_prev = dh_prev + jnp.dot(dhu_mm, u_ref[:].T, preferred_element_type=jnp.float32)
-        du_s[:] += jnp.dot(h_mm.T, dhu_mm, preferred_element_type=jnp.float32)
-        dv_s[:] += jnp.dot((hu_mm if bf16 else hu).T, dpre_mm, preferred_element_type=jnp.float32)
-    else:
-        dh_prev = dh_prev + jnp.dot(dpre_mm, u_ref[:].T, preferred_element_type=jnp.float32)
-        du_s[:] += jnp.dot(h_mm.T, dpre_mm, preferred_element_type=jnp.float32)
+        # dvec path: dh_prev += sum_g dpre_g * dvec_g ; ddvec += sum_b dpre * h
+        dv_term = dpre * dvec_ref[:]
+        dh_prev = (dv_term[:, :hp] + dv_term[:, hp:2 * hp]
+                   + dv_term[:, 2 * hp:3 * hp] + dv_term[:, 3 * hp:])
+        dd = jnp.sum(dpre * htile, axis=0, keepdims=True)
+        ddvec_acc = dd if ddvec_acc is None else ddvec_acc + dd
 
-    dh_s[:] = dh_prev
-    dc_s[:] = dc_prev
+        dpre_mm = dpre.astype(jnp.bfloat16) if bf16 else dpre
+        if lowrank:
+            # dh_prev += (dpre Vᵀ) Uᵀ ; dU += hᵀ (dpre Vᵀ); dV += (hU)ᵀ dpre
+            dhu = jnp.dot(dpre_mm, v_ref[:].T, preferred_element_type=jnp.float32)
+            dhu_mm = dhu.astype(jnp.bfloat16) if bf16 else dhu
+            dh_prev = dh_prev + jnp.dot(dhu_mm, u_ref[:].T,
+                                        preferred_element_type=jnp.float32)
+            du_t = jnp.dot(h_mm.T, dhu_mm, preferred_element_type=jnp.float32)
+            dv_t = jnp.dot((hu_mm if bf16 else hu).T, dpre_mm,
+                           preferred_element_type=jnp.float32)
+            dv_acc = dv_t if dv_acc is None else dv_acc + dv_t
+        else:
+            dh_prev = dh_prev + jnp.dot(dpre_mm, u_ref[:].T,
+                                        preferred_element_type=jnp.float32)
+            du_t = jnp.dot(h_mm.T, dpre_mm, preferred_element_type=jnp.float32)
+        du_acc = du_t if du_acc is None else du_acc + du_t
+
+        dh_carry = dh_prev
+
+    du_s[:] += du_acc
+    if dv_acc is not None:
+        dv_s[:] += dv_acc
+    ddvec_s[:] += ddvec_acc
+    dh_s[:] = dh_carry
+    dc_s[:] = dc_carry
 
     @pl.when(k == nt - 1)
     def _():
@@ -256,10 +300,7 @@ def _bwd_kernel(gi_ref, u_ref, v_ref, dvec_ref, hprev_ref, cprev_ref, cs_ref,
 def _bwd_call(gi, u, v, dvec, hprev, cprev, cs, dys, dcs, *, lowrank, interpret, bf16):
     t, bp, fourhp = gi.shape
     hp = fourhp // 4
-    f32 = 4
-    fixed = 2 * (u.size + v.size + dvec.size) * f32 + (u.size + v.size + dvec.size) * f32
-    per_row = (2 * fourhp + 9 * hp) * f32  # gi+dgi blocks, 5 state blocks, 2 carries, dh0/dc0
-    bt = _pick_batch_tile(bp, fixed, per_row)
+    sblk, bt = _pick_tiles(t, bp, fourhp, live=16)
     nb = bp // bt if bp % bt == 0 else -(-bp // bt)
     bpad = nb * bt
     gi = _pad_to(gi, (t, bpad, fourhp))
@@ -272,26 +313,27 @@ def _bwd_call(gi, u, v, dvec, hprev, cprev, cs, dys, dcs, *, lowrank, interpret,
         u = u.astype(jnp.bfloat16)
         v = v.astype(jnp.bfloat16)
 
-    rev = lambda b, k: (t - 1 - k, b, 0)
+    ntb = t // sblk
+    rev = lambda b, k: (ntb - 1 - k, b, 0)
     row = lambda b, k: (b, 0)
     const = lambda b, k: (0, 0)
-    est = fixed + per_row * bt
     out = pl.pallas_call(
-        functools.partial(_bwd_kernel, hp=hp, lowrank=lowrank, bf16=bf16),
-        grid=(nb, t),
+        functools.partial(_bwd_kernel, hp=hp, lowrank=lowrank, bf16=bf16,
+                          sblk=sblk),
+        grid=(nb, ntb),
         in_specs=[
-            pl.BlockSpec((1, bt, fourhp), rev, memory_space=pltpu.VMEM),   # gi
+            pl.BlockSpec((sblk, bt, fourhp), rev, memory_space=pltpu.VMEM),  # gi
             pl.BlockSpec(u.shape, const, memory_space=pltpu.VMEM),
             pl.BlockSpec(v.shape, const, memory_space=pltpu.VMEM),
             pl.BlockSpec(dvec.shape, const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt, hp), rev, memory_space=pltpu.VMEM),       # h_{t-1}
-            pl.BlockSpec((1, bt, hp), rev, memory_space=pltpu.VMEM),       # c_{t-1}
-            pl.BlockSpec((1, bt, hp), rev, memory_space=pltpu.VMEM),       # c_t
-            pl.BlockSpec((1, bt, hp), rev, memory_space=pltpu.VMEM),       # dys_t
-            pl.BlockSpec((1, bt, hp), rev, memory_space=pltpu.VMEM),       # dcs_t
+            pl.BlockSpec((sblk, bt, hp), rev, memory_space=pltpu.VMEM),      # h_{t-1}
+            pl.BlockSpec((sblk, bt, hp), rev, memory_space=pltpu.VMEM),      # c_{t-1}
+            pl.BlockSpec((sblk, bt, hp), rev, memory_space=pltpu.VMEM),      # c_t
+            pl.BlockSpec((sblk, bt, hp), rev, memory_space=pltpu.VMEM),      # dys_t
+            pl.BlockSpec((sblk, bt, hp), rev, memory_space=pltpu.VMEM),      # dcs_t
         ],
         out_specs=[
-            pl.BlockSpec((1, bt, fourhp), rev, memory_space=pltpu.VMEM),   # dgi
+            pl.BlockSpec((sblk, bt, fourhp), rev, memory_space=pltpu.VMEM),  # dgi
             pl.BlockSpec(u.shape, const, memory_space=pltpu.VMEM),
             pl.BlockSpec(v.shape, const, memory_space=pltpu.VMEM),
             pl.BlockSpec(dvec.shape, const, memory_space=pltpu.VMEM),
@@ -313,7 +355,7 @@ def _bwd_call(gi, u, v, dvec, hprev, cprev, cs, dys, dcs, *, lowrank, interpret,
             pltpu.VMEM(v.shape, jnp.float32),       # dV accumulator
             pltpu.VMEM(dvec.shape, jnp.float32),    # ddvec accumulator
         ],
-        compiler_params=_compiler_params(est),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(gi, u, v, dvec, hprev, cprev, cs, dys, dcs)
     dgi, du, dv, ddvec, dh0, dc0 = out
