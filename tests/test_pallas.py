@@ -128,3 +128,56 @@ class TestFusedModels:
         ys_x, _ = scan_layer(cell, prep, xs, s0, backend="xla")
         ys_p, _ = scan_layer(cell, prep, xs, s0, backend="pallas")
         np.testing.assert_allclose(ys_p, ys_x, atol=1e-6)
+
+
+class TestFusedGRU:
+    """Fused GRU scan (ops/pallas_gru) vs the XLA scan: forward + gradients."""
+
+    CASES = [
+        ("gru_lowrank", 24, 9, dict(w_rank=8, u_rank=8)),
+        ("gru_dense", 7, 4, dict()),
+        ("gru_tall", 12, 5, dict(w_rank=4, u_rank=4)),
+    ]
+
+    @pytest.mark.parametrize("name,t,b,kw", CASES, ids=[c[0] for c in CASES])
+    def test_forward_and_grad_parity(self, name, t, b, kw):
+        from vmlmf_tpu.cells import GRUCell
+
+        cell = GRUCell(10, 48, **kw)
+        params = cell.init(KEY)
+        xs = jax.random.normal(jax.random.PRNGKey(1), (t, b, 10))
+        h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(2), (b, 48))
+
+        def run(backend):
+            prep = cell.prepare(params)
+            return scan_layer(cell, prep, xs, h0, backend=backend)
+
+        ys_x, hf_x = run("xla")
+        ys_p, hf_p = run("pallas")
+        np.testing.assert_allclose(ys_p, ys_x, atol=2e-5, rtol=2e-5)
+        np.testing.assert_allclose(hf_p, hf_x, atol=2e-5, rtol=2e-5)
+
+        w_out = jax.random.normal(jax.random.PRNGKey(3), ys_x.shape)
+
+        def loss(params, xs, h0, backend):
+            prep = cell.prepare(params)
+            ys, hf = scan_layer(cell, prep, xs, h0, backend=backend)
+            return jnp.sum(ys * w_out) + jnp.sum(jnp.tanh(hf))
+
+        gx = jax.grad(loss, argnums=(0, 1, 2))(params, xs, h0, "xla")
+        gp = jax.grad(loss, argnums=(0, 1, 2))(params, xs, h0, "pallas")
+        for a, b_ in zip(jax.tree_util.tree_leaves(gx), jax.tree_util.tree_leaves(gp)):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                       atol=3e-4, rtol=3e-4)
+
+    def test_group_gru_falls_back(self):
+        from vmlmf_tpu.cells import GRUGroupCell
+
+        cell = GRUGroupCell(9, 32, u_ranks=(2, 2), groups=2)
+        params = cell.init(KEY)
+        prep = cell.prepare(params)
+        xs = jax.random.normal(jax.random.PRNGKey(1), (5, 3, 9))
+        h0 = cell.state0(3)
+        ys_x, _ = scan_layer(cell, prep, xs, h0, backend="xla")
+        ys_p, _ = scan_layer(cell, prep, xs, h0, backend="pallas")
+        np.testing.assert_allclose(ys_p, ys_x, atol=1e-6)

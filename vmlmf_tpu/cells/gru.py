@@ -75,6 +75,12 @@ class GRUCell(Cell):
             y = (xs @ prep["w_fac"]) @ prep["w_proj"]
         return y + prep["b"]
 
+    def fused_rec_inputs_gru(self, prep):
+        """(u_f, p_rz, p_n) for the fused Pallas GRU scan (ops/pallas_gru)."""
+        if self.u_rank is None:
+            return None, prep["u_rz"], prep["u_n"]
+        return prep["u_fac"], prep["u_proj_rz"], prep["u_proj_n"]
+
     def step(self, prep, gi_t, state):
         h = state
         hdim = self.hidden_size

@@ -46,6 +46,8 @@ def get_args(argv=None):
     p.add_argument("--synthetic", action="store_true",
                    help="use shape-faithful synthetic data (no dataset needed)")
     p.add_argument("--ckpt_dir", type=str, default="./trained_models")
+    p.add_argument("--backend", type=str, default="xla", choices=["xla", "pallas"],
+                   help="recurrence execution: XLA scan or fused Pallas kernel")
     return p.parse_args(argv)
 
 
@@ -63,6 +65,7 @@ def main(argv=None):
         data=args.data, dataset_folder=args.dataset_folder,
         lr=args.lr, batch_size=args.batch_size, max_epochs=args.max_epochs,
         seed=args.seed, is_train=args.is_train or args.total,
+        backend=args.backend,
     )
 
     folder = None if args.synthetic else cfg.dataset_folder

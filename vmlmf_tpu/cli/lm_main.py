@@ -43,6 +43,8 @@ def get_args(argv=None):
     p.add_argument("--vocab_size", type=int, default=1000, help="synthetic vocab")
     p.add_argument("--log_every", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--backend", type=str, default="xla", choices=["xla", "pallas"],
+                   help="recurrence execution: XLA scan or fused Pallas kernel")
     return p.parse_args(argv)
 
 
@@ -60,6 +62,7 @@ def main(argv=None):
         total_epochs=args.total_epochs, factor_epoch=args.factor_epoch,
         factor=args.factor, max_grad_norm=args.max_grad_norm, seed=args.seed,
         data_dir=None if args.synthetic else args.data_dir,
+        backend=args.backend,
     )
 
     trn_ids, vld_ids, tst_ids, vocab = ptb.load_or_synthesize(

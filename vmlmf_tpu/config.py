@@ -46,6 +46,8 @@ class HARConfig:
     max_epochs: int = 100
     seed: int = 3
     is_train: bool = True
+    # execution
+    backend: str = "xla"           # "xla" | "pallas" (fused whole-scan kernel)
 
     @property
     def input_size(self):
@@ -92,13 +94,15 @@ class HARConfig:
         factory = self.cell_factory()
         if self.deepconv:
             return DeepConvNet(self.input_size, tuple(self.layer_sizes),
-                               cell_factory=factory, num_classes=self.num_classes)
+                               cell_factory=factory, num_classes=self.num_classes,
+                               backend=self.backend)
         if self.bidirectional:
             return BDNet(self.input_size, tuple(self.layer_sizes),
                          cell_factory=factory, num_classes=self.num_classes,
-                         merge=self.merge)
+                         merge=self.merge, backend=self.backend)
         return HARNet(self.input_size, tuple(self.layer_sizes),
-                      cell_factory=factory, num_classes=self.num_classes)
+                      cell_factory=factory, num_classes=self.num_classes,
+                      backend=self.backend)
 
 
 @dataclasses.dataclass
@@ -123,6 +127,7 @@ class LMConfig:
     max_grad_norm: float = 5.0
     seed: int = 0
     data_dir: str | None = "./data"
+    backend: str = "xla"           # "xla" | "pallas"
 
     def cell_factory(self):
         t = self.lstm_type.lower()
@@ -142,4 +147,5 @@ class LMConfig:
             vocab_size, self.hidden_size, self.layer_num,
             cell_factory=self.cell_factory(), dropout_rate=self.dropout,
             winit=self.winit, tie_embeddings=self.tie_embeddings,
+            backend=self.backend,
         )

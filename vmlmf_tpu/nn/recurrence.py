@@ -66,6 +66,19 @@ def scan_layer(cell, prep, xs, state0, *, reverse=False, unroll=1, backend="xla"
                 ys = jnp.flip(ys, axis=0)
             return ys, (h_last, c_last)
 
+    if (backend == "pallas" and hasattr(cell, "fused_rec_inputs_gru")
+            and not isinstance(state0, tuple)):
+        from vmlmf_tpu.ops.pallas_gru import gru_scan_fused
+
+        uf, prz, pn = cell.fused_rec_inputs_gru(prep)
+        if reverse:
+            gi = jnp.flip(gi, axis=0)
+        ys = gru_scan_fused(gi, uf, prz, pn, state0, interpret=_use_interpret())
+        h_last = ys[-1]
+        if reverse:
+            ys = jnp.flip(ys, axis=0)
+        return ys, h_last
+
     def body(state, gi_t):
         state, out = cell.step(prep, gi_t, state)
         return state, out

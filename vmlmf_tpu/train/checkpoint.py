@@ -53,8 +53,15 @@ def save_checkpoint(path, state, *, meta=None):
     return path
 
 
-def load_checkpoint(path, like):
-    """Restore into the structure of `like` (same treedef as at save time)."""
+def load_checkpoint(path, like, *, shardings=None):
+    """Restore into the structure of `like` (same treedef as at save time).
+
+    ``shardings``: optional pytree of `jax.sharding.Sharding` matching `like`
+    (e.g. from `parallel.sharding.lm_param_sharding`); each restored leaf is
+    placed directly onto its mesh shards (`jax.device_put` with a sharding
+    shards the host array — the sharding-aware restore path for pjit'd
+    training).  Without it, leaves restore as host numpy arrays.
+    """
     flat_like, treedef = _flatten(like)
     with np.load(os.path.join(path, "arrays.npz")) as z:
         flat = [z[f"a{i}"] for i in range(len(flat_like))]
@@ -63,7 +70,10 @@ def load_checkpoint(path, like):
             raise ValueError(
                 f"checkpoint leaf {i} shape {a.shape} != expected {np.shape(b)}"
             )
-    return jax.tree_util.tree_unflatten(treedef, flat)
+    state = jax.tree_util.tree_unflatten(treedef, flat)
+    if shardings is not None:
+        state = jax.device_put(state, shardings)
+    return state
 
 
 def checkpoint_meta(path):
