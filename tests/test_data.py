@@ -106,3 +106,20 @@ class TestSyntheticHAR:
         assert x_tr.shape == (30, 24, 77) and y_tr.shape == (30,)
         x_tr, _, _, _ = synthetic_har("uci", n_train=8)
         assert x_tr.shape == (8, 128, 9)
+
+
+class TestPrefetch:
+    def test_prefetch_yields_all_batches_in_order(self):
+        import numpy as np
+
+        from vmlmf_tpu.data.batching import batch_iterator, prefetch_to_device
+
+        x = np.arange(40, dtype=np.float32).reshape(10, 4)
+        y = np.arange(10, dtype=np.int32)
+        base = list(batch_iterator(x, y, 3, shuffle=False, drop_last=False))
+        pre = list(prefetch_to_device(
+            batch_iterator(x, y, 3, shuffle=False, drop_last=False), size=2))
+        assert len(pre) == len(base)
+        for (xb, yb), (xp, yp) in zip(base, pre):
+            np.testing.assert_array_equal(np.asarray(xp), xb)
+            np.testing.assert_array_equal(np.asarray(yp), yb)

@@ -173,3 +173,34 @@ class TestShardedCheckpoint:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         emb = restored["embed"]["w"]
         assert len(emb.sharding.device_set) > 1, emb.sharding
+
+
+class TestDataParallelTrainer:
+    def test_har_trainer_on_mesh_matches_single_device(self):
+        """HARTrainer(mesh=...) must train to the same parameters as the
+        single-device trainer (DP is an execution detail, not semantics)."""
+        import numpy as np
+        from vmlmf_tpu.cells import VMLMFCell
+        from vmlmf_tpu.nn.models import HARNet
+        from vmlmf_tpu.parallel.mesh import make_mesh
+        from vmlmf_tpu.train.har import HARTrainer
+
+        model = HARNet(input_size=9, layer_sizes=(16,),
+                       cell_factory=lambda n, h: VMLMFCell(n, h, w_rank=4, u_rank=4),
+                       num_classes=6)
+        x = jax.random.normal(jax.random.PRNGKey(1), (3, 8, 12, 9))
+        y = jax.random.randint(jax.random.PRNGKey(2), (3, 8), 0, 6)
+
+        t1 = HARTrainer(model, batch_size=8, fuse_batches=1)
+        p1, o1 = t1.init()
+        t2 = HARTrainer(model, batch_size=8, fuse_batches=1, mesh=make_mesh(model=1))
+        p2, o2 = t2.init()
+
+        for i in range(3):
+            p1, o1, l1 = t1._train_step(p1, o1, x[i], y[i])
+            p2, o2, l2 = t2._train_step(p2, o2, x[i], y[i])
+            np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
+        # batch really is sharded across the 8 virtual devices
+        assert len(jax.tree_util.tree_leaves(p2)[0].sharding.device_set) == 8

@@ -206,3 +206,27 @@ class TestFusionEquivalence:
         np.testing.assert_allclose(np.asarray(losses_f), losses_s, rtol=2e-5, atol=2e-6)
         for a, b in zip(jax.tree_util.tree_leaves(pf), jax.tree_util.tree_leaves(p2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+class TestProfilingUtils:
+    def test_nan_checks_toggle(self):
+        from vmlmf_tpu.utils.profiling import enable_nan_checks
+
+        enable_nan_checks(True)
+        try:
+            with np.testing.assert_raises(Exception):
+                jax.jit(lambda x: x / 0.0 * 0.0)(jnp.float32(1.0)).block_until_ready()
+        finally:
+            enable_nan_checks(False)
+        # back off: the same computation silently yields nan
+        out = jax.jit(lambda x: x / 0.0 * 0.0)(jnp.float32(1.0))
+        assert np.isnan(np.asarray(out))
+
+    def test_live_buffer_bytes_counts(self):
+        from vmlmf_tpu.utils.profiling import live_buffer_bytes
+
+        before = live_buffer_bytes()
+        keep = jnp.ones((256, 256), jnp.float32) + 0  # materialize
+        keep.block_until_ready()
+        assert live_buffer_bytes() >= before
+        del keep

@@ -109,6 +109,16 @@ class DiagonalLSTMCell(Cell):
     Gate pre-activations are elementwise: ``pre_g = pad(dw_g ⊙ x) + du_g ⊙ h + b_g``.
     Init constants mirror the reference fills (0.1321 input / 0.1231 recurrent,
     `compressed_lstm.py:100-103`).
+
+    Documented divergences from `myDiagonalLSTMCell` (`compressed_lstm.py:85-152`),
+    whose forward is broken two ways: (a) it multiplies **x** by the recurrent
+    diagonal (`uVal = x.squeeze()*diagonal(U)`, :130-133 — h never enters the
+    recurrence), and (b) its `isdiagonal=False` "block-diagonal" option only
+    changes the *init* of full matrices whose off-diagonals the forward never
+    reads (`torch.diagonal`, :124-133).  This cell implements the intended
+    math (diagonal recurrence over h); the block-structured capability lives
+    in the group cells (`cells/group.py`), where off-diagonal blocks actually
+    participate.
     """
 
     def init(self, key, dtype=jnp.float32):

@@ -47,3 +47,29 @@ def pad_last_batch(x, y, batch_size):
     yp = np.concatenate([y, np.repeat(y[-1:], pad, axis=0)])
     mask = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
     return xp, yp, mask
+
+
+def prefetch_to_device(iterator, size=2, devices=None):
+    """Asynchronously stage host batches onto the device ahead of compute.
+
+    Wraps a host batch iterator so `jax.device_put` of batch k+1..k+size
+    overlaps the step running on batch k (dispatches are async; the transfer
+    engine runs concurrently with compute).  The TPU answer to
+    `DataLoader(num_workers=...)` pipelines in the reference — useful for the
+    non-fused per-batch training path; the fused paths stage whole epochs.
+    """
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+
+    def put(batch):
+        return jax.tree_util.tree_map(lambda a: jax.device_put(a, devices), batch)
+
+    for batch in iterator:
+        queue.append(put(batch))
+        if len(queue) > size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

@@ -41,11 +41,30 @@ class HARTrainer:
     # jitted scan is worth >10x wall-clock (measured on TPU v5e).  1 = plain
     # per-batch stepping.
     fuse_batches: int = 64
+    # Optional jax.sharding.Mesh (with a "data" axis) for data-parallel
+    # training: params/opt-state replicated, batches sharded over "data",
+    # gradient psum inserted by XLA from the sharding annotations.
+    mesh: object = None
 
     def __post_init__(self):
         self.opt = optax.adam(self.learning_rate)
 
-        @partial(jax.jit, donate_argnums=(0, 1))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            batch_sh = NamedSharding(self.mesh, P("data"))
+            stack_sh = NamedSharding(self.mesh, P(None, "data"))
+            self._replicated = rep
+            step_kw = dict(in_shardings=(rep, rep, batch_sh, batch_sh),
+                           out_shardings=(rep, rep, rep))
+            fused_kw = dict(in_shardings=(rep, rep, stack_sh, stack_sh),
+                            out_shardings=(rep, rep, rep))
+        else:
+            self._replicated = None
+            step_kw = fused_kw = {}
+
+        @partial(jax.jit, donate_argnums=(0, 1), **step_kw)
         def train_step(params, opt_state, x, y):
             def loss_fn(p):
                 return cross_entropy(self.model.apply(p, x), y)
@@ -56,7 +75,7 @@ class HARTrainer:
 
         self._train_step = train_step
 
-        @partial(jax.jit, donate_argnums=(0, 1))
+        @partial(jax.jit, donate_argnums=(0, 1), **fused_kw)
         def fused_steps(params, opt_state, xs, ys):
             """Sequential Adam steps over a [k, B, ...] stack, one dispatch."""
 
@@ -79,7 +98,11 @@ class HARTrainer:
 
     def init(self, dtype=jnp.float32):
         params = self.model.init(jax.random.PRNGKey(self.seed), dtype)
-        return params, self.opt.init(params)
+        opt_state = self.opt.init(params)
+        if self._replicated is not None:
+            params = jax.device_put(params, self._replicated)
+            opt_state = jax.device_put(opt_state, self._replicated)
+        return params, opt_state
 
     def fit(self, params, opt_state, x_train, y_train, *, epochs, log_fn=print):
         """-> (params, opt_state, history). One executable for all epochs."""
