@@ -204,3 +204,34 @@ class TestDataParallelTrainer:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
         # batch really is sharded across the 8 virtual devices
         assert len(jax.tree_util.tree_leaves(p2)[0].sharding.device_set) == 8
+
+
+class TestLMTrainerOnMesh:
+    def test_lm_trainer_mesh_matches_single_device(self):
+        import numpy as np
+        from vmlmf_tpu.cells import VMLMFCell
+        from vmlmf_tpu.nn.models import LMModel
+        from vmlmf_tpu.parallel.mesh import make_mesh
+        from vmlmf_tpu.train.lm import LMTrainer
+
+        def build(mesh):
+            model = LMModel(vocab_size=64, hidden_size=16, num_layers=1,
+                            cell_factory=lambda n, h: VMLMFCell(n, h, w_rank=4, u_rank=4),
+                            dropout_rate=0.0, winit=0.05)
+            return LMTrainer(model, batch_size=4, seq_length=5, mesh=mesh), model
+
+        t1, m1 = build(None)
+        t2, m2 = build(make_mesh(model=2))
+        p1, p2 = t1.init(), t2.init()
+        s1, s2 = m1.state0(4), t2.state0(4)
+        xs = jax.random.randint(jax.random.PRNGKey(1), (5, 4), 0, 64)
+        ys = jax.random.randint(jax.random.PRNGKey(2), (5, 4), 0, 64)
+        lr = jnp.float32(0.5)
+        key = jax.random.PRNGKey(7)
+        for _ in range(3):
+            p1, s1, l1, _ = t1._train_step(p1, s1, xs, ys, lr, key)
+            p2, s2, l2, _ = t2._train_step(p2, s2, xs, ys, lr, key)
+            np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
+        assert len(jax.tree_util.tree_leaves(p2)[0].sharding.device_set) >= 2

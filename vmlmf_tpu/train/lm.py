@@ -63,6 +63,10 @@ class LMTrainer:
     # ~100µs+; a whole PTB epoch is ~1300 chunks of a few MB, so fusing the
     # epoch makes the step loop device-resident.  1 = per-chunk stepping.
     fuse_chunks: int = 256
+    # Optional jax.sharding.Mesh: embedding/softmax rows sharded over the
+    # "model" axis, token batches over "data", recurrent towers replicated —
+    # the sharding layout of `parallel.sharding.lm_param_sharding`.
+    mesh: object = None
 
     def __post_init__(self):
         def sgd_chunk(params, states, x, y, lr, rng):
@@ -74,6 +78,26 @@ class LMTrainer:
             grads, gnorm = clip_by_global_norm(grads, self.max_grad_norm)
             params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
             return params, new_states, loss, gnorm
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from vmlmf_tpu.parallel.sharding import (
+                lm_param_sharding,
+                lm_state_sharding,
+                replicated,
+            )
+
+            rep = replicated(self.mesh)
+            self._shardings = dict(
+                params=lambda p: lm_param_sharding(p, self.mesh),
+                states=lambda s: lm_state_sharding(s, self.mesh),
+                ids=NamedSharding(self.mesh, P(None, "data")),
+                stack_ids=NamedSharding(self.mesh, P(None, None, "data")),
+                rep=rep,
+            )
+        else:
+            self._shardings = None
 
         self._train_step = jax.jit(sgd_chunk, donate_argnums=(0, 1))
 
@@ -101,7 +125,16 @@ class LMTrainer:
         self._eval_step = eval_step
 
     def init(self, dtype=jnp.float32):
-        return self.model.init(jax.random.PRNGKey(self.seed), dtype)
+        params = self.model.init(jax.random.PRNGKey(self.seed), dtype)
+        if self._shardings is not None:
+            params = jax.device_put(params, self._shardings["params"](params))
+        return params
+
+    def state0(self, batch=None):
+        states = self.model.state0(batch or self.batch_size)
+        if self._shardings is not None:
+            states = jax.device_put(states, self._shardings["states"](states))
+        return states
 
     def fit(self, params, data, *, epochs, log_every=None, log_fn=print):
         """data = (train_chunks, valid_chunks, test_chunks) from ptb.minibatch.
@@ -117,7 +150,7 @@ class LMTrainer:
             xs_all = np.stack([x for x, _ in trn])
             ys_all = np.stack([y for _, y in trn])
         for epoch in range(epochs):
-            states = self.model.state0(self.batch_size)
+            states = self.state0()
             if epoch > self.factor_epoch and lr > 0.001:
                 lr = lr / self.factor
             if fuse > 1:
@@ -166,7 +199,7 @@ class LMTrainer:
         return params, history
 
     def perplexity(self, params, chunks):
-        states = self.model.state0(self.batch_size)
+        states = self.state0()
         losses = []
         for x, y in chunks:
             loss, states = self._eval_step(params, states, x, y)
