@@ -85,3 +85,15 @@ class TestGatherNorm:
             _native.norm_clamp_f32(x, np.asarray(NORM_MIN, np.float32),
                                    np.asarray(NORM_MAX, np.float32)),
             normalize(x), rtol=1e-6, atol=1e-7)
+
+
+def test_gather_rows_accepts_jax_arrays():
+    """Trainers may hand jax arrays to the batch iterator; the native gather
+    must fall back to fancy indexing rather than assume numpy."""
+    import jax
+    import jax.numpy as jnp
+
+    src = jnp.arange(24, dtype=jnp.float32).reshape(6, 4)
+    idx = np.array([3, 1])
+    out = _native.gather_rows(src, idx)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(src)[idx])

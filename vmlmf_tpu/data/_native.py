@@ -139,8 +139,9 @@ def interp_nan_f32(x: np.ndarray) -> np.ndarray:
 def gather_rows(src: np.ndarray, idx: np.ndarray) -> np.ndarray:
     """src[idx] for 2-D+ C-contiguous f32/i32 arrays (fast batch assembly)."""
     lib = get_lib()
-    if lib is None or not src.flags.c_contiguous or src.dtype not in (
-            np.dtype(np.float32), np.dtype(np.int32)):
+    if (lib is None or not isinstance(src, np.ndarray)  # jax arrays etc.
+            or not src.flags.c_contiguous or src.dtype not in (
+                np.dtype(np.float32), np.dtype(np.int32))):
         return src[idx]
     idx = np.ascontiguousarray(idx, np.int64)
     out = np.empty((len(idx),) + src.shape[1:], src.dtype)
