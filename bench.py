@@ -79,18 +79,22 @@ def main():
     ys = jax.random.randint(jax.random.PRNGKey(1), (fuse, batch), 0, 18)
 
     # production path: epoch-fused scan over batches.
-    # NOTE: block on every dispatch — with the async runtime, blocking only on
-    # the last call's output under-measures (queued work is not yet executed).
-    p, o, _ = trainer._fused_steps(params, opt_state, xs, ys)  # compile
-    jax.block_until_ready(p)
+    # Timing protocol: chain all iterations through (params, opt_state), then
+    # ONE device-to-host value read of the final losses.  A real value read
+    # must wait for the whole dependency chain; `block_until_ready` on this
+    # tunneled runtime can return before queued work executes, and a read per
+    # call pays ~30ms relay round-trip each — both distort badly.  The loss
+    # value moving across calls proves the work actually ran.
+    p, o, losses = trainer._fused_steps(params, opt_state, xs, ys)  # compile
+    loss_start = float(losses[-1])
     iters = 10
     t0 = time.perf_counter()
-    sink = 0.0
     for _ in range(iters):
         p, o, losses = trainer._fused_steps(p, o, xs, ys)
-        sink += float(losses[-1])  # D2H read: completion signal that cannot lie
+    loss_end = float(losses[-1])  # single D2H read closes the chain
     sec_per_batch = (time.perf_counter() - t0) / (iters * fuse)
     seq_per_sec = batch / sec_per_batch
+    assert loss_end != loss_start, "training chain did not execute"
 
     # baseline path: unhoisted math, per-batch host dispatch
     # (fresh params — the production path donated its buffers)
@@ -99,11 +103,11 @@ def main():
     pn = model.init(jax.random.PRNGKey(3))
     on = opt.init(pn)
     pn, on, loss = naive_step(pn, on, xs[0], ys[0])  # compile
-    jax.block_until_ready(loss)
+    _ = float(loss)
     t0 = time.perf_counter()
     for i in range(50):
         pn, on, loss = naive_step(pn, on, xs[i % fuse], ys[i % fuse])
-        sink += float(loss)  # D2H read per step
+    _ = float(loss)  # single D2H read closes the chain
     sec_naive = (time.perf_counter() - t0) / 50
 
     print(json.dumps({
