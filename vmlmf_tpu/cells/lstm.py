@@ -72,6 +72,22 @@ class LSTMCell(Cell):
             return prep["u"], None, zeros
         return prep["u_fac"], prep["u_proj"], zeros
 
+    def pipeline_units(self, prep):
+        """Factor spec for the wavefront stack scan (ops.pipeline).
+
+        Only the fully factored (LMF) parameterization batches with the
+        other layers' low-rank units; dense cells fall back to the
+        sequential schedule.
+        """
+        if self.w_rank is None or self.u_rank is None:
+            return None
+        zeros = jnp.zeros((4, self.hidden_size), prep["b"].dtype)
+        return {
+            "u_x": prep["w_fac"], "v_x": prep["w_proj"], "d_x": zeros,
+            "bias": prep["b"],
+            "u_h": prep["u_fac"], "v_h": prep["u_proj"], "d_h": zeros,
+        }
+
     def dense_w(self, params):
         """[4h, n] stacked input matrix (oracle for parity tests)."""
         if self.w_rank is None:

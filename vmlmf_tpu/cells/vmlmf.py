@@ -90,3 +90,19 @@ class VMLMFCell(Cell):
         h @ (u_h v_hᵀ) + h ⊙ (d_h - dcorr_h) per gate."""
         dvec = (prep["d_h"][None, :] - prep["dcorr_h"]).reshape(-1)
         return prep["u_h"], prep["v_h"].T, dvec
+
+    def pipeline_units(self, prep):
+        """Factor/epilogue spec for the wavefront stack scan (ops.pipeline).
+
+        Both paths are ``in @ U @ V + in ⊙ D`` per gate; the x-path also
+        carries the (time-invariant) bias sum.  The x-unit is only consumed
+        when this cell sits above another layer (input_size == hidden_size).
+        """
+        h = self.hidden_size
+        d_x = pad_features(prep["d_x"], h)[None, :] - prep["dcorr_x"]  # [4, h]
+        d_h = prep["d_h"][None, :] - prep["dcorr_h"]
+        return {
+            "u_x": prep["u_x"], "v_x": prep["v_x"].T, "d_x": d_x,
+            "bias": prep["b_x"] + prep["b_h"],
+            "u_h": prep["u_h"], "v_h": prep["v_h"].T, "d_h": d_h,
+        }

@@ -205,6 +205,24 @@ class LMModel:
         keys = jax.random.split(rng, n_drops) if rng is not None else [None] * n_drops
         x = self.embed(params["embed"], ids)  # [T, B, H]
         x = dropout(keys[0], x, self.dropout_rate, det or keys[0] is None)
+        if self.backend == "pipelined":
+            from vmlmf_tpu.ops.pipeline import (
+                pipelined_available,
+                pipelined_lstm_scan,
+            )
+
+            preps = [c.prepare(p) for c, p in zip(self.rnn.cells, params["rnn"])]
+            if pipelined_available(self.rnn.cells, preps):
+                # inter-layer dropout (fresh mask per timestep) runs inside
+                # the wavefront scan; the last layer's output dropout below.
+                drop_rng = None if (det or rng is None) else keys[1]
+                x, new_states = pipelined_lstm_scan(
+                    self.rnn.cells, preps, x, states,
+                    dropout_rate=self.dropout_rate, rng=drop_rng)
+                kl = keys[-1]
+                x = dropout(kl, x, self.dropout_rate, det or kl is None)
+                w = params["embed"]["w"].T if self.tie_embeddings else params["fc"]["w"]
+                return x @ w + params["fc"]["b"], new_states
         new_states = []
         for i, (cell, p) in enumerate(zip(self.rnn.cells, params["rnn"])):
             prep = cell.prepare(p)

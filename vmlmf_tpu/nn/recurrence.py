@@ -99,7 +99,10 @@ class RNN:
 
     cells: tuple
     unroll: int = 1
-    backend: str = "xla"  # "xla" | "pallas" (fused whole-scan kernel)
+    # "xla" | "pallas" (fused whole-scan kernel) | "pipelined" (wavefront
+    # multi-layer schedule, `ops.pipeline` — ~L× shorter serial chain for
+    # uniform stacks; falls back per-call when the stack doesn't qualify)
+    backend: str = "xla"
     precision: str | None = None  # fused-kernel matmul precision: f32 | bf16
 
     def init(self, key, dtype=jnp.float32):
@@ -116,6 +119,19 @@ class RNN:
         batch = xs.shape[1]
         if states is None:
             states = self.state0(batch, xs.dtype)
+        if self.backend == "pipelined" and not reverse:
+            from vmlmf_tpu.ops.pipeline import (
+                pipelined_available,
+                pipelined_lstm_scan,
+            )
+
+            preps = [c.prepare(p) for c, p in zip(self.cells, params)]
+            if pipelined_available(self.cells, preps):
+                ys, finals = pipelined_lstm_scan(
+                    self.cells, preps, xs, states, unroll=self.unroll)
+                if not time_major:
+                    ys = jnp.swapaxes(ys, 0, 1)
+                return ys, finals
         finals = []
         for cell, p, s0 in zip(self.cells, params, states):
             prep = cell.prepare(p)

@@ -6,3 +6,7 @@ from vmlmf_tpu.ops.lowrank import (  # noqa: F401
     dense_from_lowrank,
     dense_from_group,
 )
+from vmlmf_tpu.ops.pipeline import (  # noqa: F401
+    pipelined_available,
+    pipelined_lstm_scan,
+)
