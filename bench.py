@@ -5,8 +5,10 @@ OPP shapes [batch 81, T 24, 77 sensors], one VMLMF layer of 180 hidden,
 w_rank 8 / u_rank 6, Adam, full train step (forward + BPTT + update).
 
 ``value`` is the framework's production path: hoisted input projection +
-`lax.scan` recurrence + epoch-fused stepping (batches scanned on-device in one
-dispatch — `HARTrainer.fuse_batches`).
+fused whole-scan Pallas recurrence (`--backend pallas`; factors + carry
+VMEM-resident across the scan) + epoch-fused stepping (batches scanned
+on-device in one dispatch — `HARTrainer.fuse_batches`).  Measured +7% over
+the XLA-scan backend at this config (see BASELINE.md).
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
 baseline is a *reference-faithful execution strategy* measured on the same
@@ -71,7 +73,8 @@ def main():
     enable_persistent_cache()
     batch, t, feats, fuse = 81, 24, 77, 64
     model = HARNet(input_size=feats, layer_sizes=(180,),
-                   cell_factory=lambda n, h: VMLMFCell(n, h, w_rank=8, u_rank=6))
+                   cell_factory=lambda n, h: VMLMFCell(n, h, w_rank=8, u_rank=6),
+                   backend="pallas")
     trainer = HARTrainer(model, learning_rate=2e-3, batch_size=batch,
                          fuse_batches=fuse)
     params, opt_state = trainer.init()

@@ -12,7 +12,13 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from vmlmf_tpu.cells import DualDiagonalLSTMCell, LSTMCell, VMLMFCell
+from vmlmf_tpu.cells import (
+    DualDiagonalLSTMCell,
+    LSTMCell,
+    LSTMGroupCell,
+    VMLMFCell,
+    VMLMFGroupCell,
+)
 from vmlmf_tpu.nn.recurrence import scan_layer
 
 KEY = jax.random.PRNGKey(0)
@@ -24,6 +30,12 @@ CASES = [
     ("lstm_dense", LSTMCell(16, 40), 5, 3),
     ("lstm_lowrank", LSTMCell(16, 40, w_rank=8, u_rank=8), 5, 3),
     ("dualdiag", DualDiagonalLSTMCell(16, 40, w_rank=8, u_rank=8), 5, 3),
+    # group cells ride the fused kernel via the dense-materialized recurrent
+    # matrix (weight-only, once per step — `VMLMFGroupCell.fused_rec_inputs`)
+    ("vmlmf_group", VMLMFGroupCell(9, 32, w_rank=4, u_ranks=(2, 3), groups=2), 6, 3),
+    ("vmlmf_group_novm", VMLMFGroupCell(9, 32, w_rank=4, u_ranks=(2, 2), groups=2,
+                                        use_vm=False), 5, 3),
+    ("lstm_group", LSTMGroupCell(9, 30, u_ranks=(2, 2, 2), groups=3), 5, 3),
 ]
 
 
@@ -116,11 +128,11 @@ class TestFusedModels:
         np.testing.assert_allclose(m_p.apply(params, x), m_x.apply(params, x),
                                    atol=2e-5, rtol=2e-5)
 
-    def test_group_cell_falls_back_to_xla(self):
+    def test_cell_without_fused_mapping_falls_back_to_xla(self):
         """Cells without a fused mapping must run unchanged under backend=pallas."""
-        from vmlmf_tpu.cells import VMLMFGroupCell
+        from vmlmf_tpu.cells import DiagonalLSTMCell
 
-        cell = VMLMFGroupCell(9, 32, w_rank=4, u_ranks=(2, 2), groups=2)
+        cell = DiagonalLSTMCell(9, 32)
         params = cell.init(KEY)
         prep = cell.prepare(params)
         xs = jax.random.normal(jax.random.PRNGKey(1), (5, 3, 9))

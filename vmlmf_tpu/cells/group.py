@@ -122,6 +122,26 @@ class VMLMFGroupCell(Cell):
         h_next, c_next = lstm_update(gi_t + gr, c)
         return (h_next, c_next), h_next
 
+    def fused_rec_inputs(self, prep):
+        """(u, v, dvec) for the fused Pallas scan, via the dense-materialized
+        recurrent matrix.
+
+        TPU trade-off: the block/group factorization saves *parameters*, not
+        recurrent bandwidth, at HAR/LM sizes — so the fused path materializes
+        the [h, 4h] dense equivalent once per training step (weight-only,
+        outside the scan) and keeps it VMEM-resident across all timesteps,
+        instead of running g rolled contractions per step.
+        """
+        from vmlmf_tpu.ops.lowrank import dense_from_group
+
+        u_t, v_t = self._tiers(prep)
+        w = dense_from_group(u_t, v_t, 4, self.hidden_size).T  # [h, 4h]
+        if self.use_vm:
+            dvec = (prep["d_h"][None, :] - prep["dcorr_h"]).reshape(-1)
+        else:
+            dvec = jnp.zeros((4 * self.hidden_size,), w.dtype)
+        return w, None, dvec
+
 
 @dataclasses.dataclass(frozen=True)
 class LSTMGroupCell(Cell):
@@ -165,3 +185,13 @@ class LSTMGroupCell(Cell):
         gr = _group_rec(h_prev, u_t, v_t, self.groups, 4)
         h_next, c_next = lstm_update(gi_t + gr, c)
         return (h_next, c_next), h_next
+
+    def fused_rec_inputs(self, prep):
+        """Dense-materialized recurrent matrix for the fused Pallas scan
+        (see `VMLMFGroupCell.fused_rec_inputs` for the trade-off)."""
+        from vmlmf_tpu.ops.lowrank import dense_from_group
+
+        u_t = [prep[f"u_h_{i}"] for i in range(self.groups)]
+        v_t = [prep[f"v_h_{i}"] for i in range(self.groups)]
+        w = dense_from_group(u_t, v_t, 4, self.hidden_size).T
+        return w, None, jnp.zeros((4 * self.hidden_size,), w.dtype)

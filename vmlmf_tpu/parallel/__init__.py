@@ -6,3 +6,6 @@ from vmlmf_tpu.parallel.sharding import (  # noqa: F401
     har_param_sharding,
     shard_params,
 )
+from vmlmf_tpu.parallel.pipeline_parallel import (  # noqa: F401
+    pipeline_parallel_scan,
+)
