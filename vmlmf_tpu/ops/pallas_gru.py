@@ -16,7 +16,10 @@ gates (r, z) from ``h @ U_rz``, candidate from ``(r ⊙ h) @ U_n`` (reset applie
 Same execution design as `pallas_scan`: factors + carry resident in VMEM,
 per-step gate inputs streamed with double buffering, (time-block × batch-tile)
 grid chosen against the VMEM stack model, reverse-grid backward kernel that
-recomputes activations and accumulates parameter grads in VMEM.
+accumulates parameter grads in VMEM.  Like the LSTM kernel, the forward saves
+the gate activations (r, z, n) and the rank-space products h@U_f, (r⊙h)@U_f,
+so the backward performs zero recompute matmuls (down from four per step) and
+never re-streams gi.
 """
 
 from __future__ import annotations
@@ -41,7 +44,7 @@ from vmlmf_tpu.ops.pallas_scan import (
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(gi_ref, uf_ref, prz_ref, pn_ref, h0_ref,
-                ys_ref, h_s, *, hp, lowrank, sblk):
+                ys_ref, gates_ref, hu_ref, rhu_ref, h_s, *, hp, lowrank, sblk):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -52,18 +55,23 @@ def _fwd_kernel(gi_ref, uf_ref, prz_ref, pn_ref, h0_ref,
     for st in range(sblk):
         if lowrank:
             hu = jnp.dot(h, uf_ref[:], preferred_element_type=jnp.float32)
+            hu_ref[st] = hu
             rz = jnp.dot(hu, prz_ref[:], preferred_element_type=jnp.float32)
         else:
             rz = jnp.dot(h, prz_ref[:], preferred_element_type=jnp.float32)
+            hu_ref[st] = jnp.zeros(hu_ref.shape[1:], jnp.float32)
         r = jax.nn.sigmoid(gi_ref[st, :, :hp] + rz[:, :hp])
         z = jax.nn.sigmoid(gi_ref[st, :, hp:2 * hp] + rz[:, hp:])
         rh = r * h
         if lowrank:
             rhu = jnp.dot(rh, uf_ref[:], preferred_element_type=jnp.float32)
+            rhu_ref[st] = rhu
             nn = jnp.dot(rhu, pn_ref[:], preferred_element_type=jnp.float32)
         else:
             nn = jnp.dot(rh, pn_ref[:], preferred_element_type=jnp.float32)
+            rhu_ref[st] = jnp.zeros(rhu_ref.shape[1:], jnp.float32)
         n = jnp.tanh(gi_ref[st, :, 2 * hp:] + nn)
+        gates_ref[st] = jnp.concatenate([r, z, n], axis=-1)
         h = z * h + (1.0 - z) * n
         ys_ref[st] = h
     h_s[:] = h
@@ -72,15 +80,16 @@ def _fwd_kernel(gi_ref, uf_ref, prz_ref, pn_ref, h0_ref,
 def _fwd_call(gi, uf, prz, pn, h0, *, lowrank, interpret):
     t, bp, threehp = gi.shape
     hp = threehp // 3
-    sblk, bt = _pick_tiles(t, bp, threehp, live=8)
+    sblk, bt = _pick_tiles(t, bp, threehp, live=10)
     nb = bp // bt if bp % bt == 0 else -(-bp // bt)
     gi = _pad_to(gi, (t, nb * bt, threehp))
     h0 = _pad_to(h0, (nb * bt, hp))
+    rp = uf.shape[1] if lowrank else 128  # saved rank-activation dim
 
     step = lambda b, k: (k, b, 0)
     row = lambda b, k: (b, 0)
     const = lambda b, k: (0, 0)
-    ys = pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_fwd_kernel, hp=hp, lowrank=lowrank, sblk=sblk),
         grid=(nb, t // sblk),
         in_specs=[
@@ -90,20 +99,32 @@ def _fwd_call(gi, uf, prz, pn, h0, *, lowrank, interpret):
             pl.BlockSpec(pn.shape, const, memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, hp), row, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((sblk, bt, hp), step, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, nb * bt, hp), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((sblk, bt, hp), step, memory_space=pltpu.VMEM),
+            pl.BlockSpec((sblk, bt, threehp), step, memory_space=pltpu.VMEM),
+            pl.BlockSpec((sblk, bt, rp), step, memory_space=pltpu.VMEM),
+            pl.BlockSpec((sblk, bt, rp), step, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, nb * bt, hp), jnp.float32),
+            jax.ShapeDtypeStruct((t, nb * bt, threehp), jnp.float32),
+            jax.ShapeDtypeStruct((t, nb * bt, rp), jnp.float32),
+            jax.ShapeDtypeStruct((t, nb * bt, rp), jnp.float32),
+        ],
         scratch_shapes=[pltpu.VMEM((bt, hp), jnp.float32)],
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(gi, uf, prz, pn, h0)
-    return ys[:, :bp]
+    # ys, gates (r,z,n), hu, rhu (rank activations; zeros if dense)
+    return out[0][:, :bp], out[1][:, :bp], out[2][:, :bp], out[3][:, :bp]
 
 
 # ---------------------------------------------------------------------------
 # backward (reverse grid)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(gi_ref, uf_ref, prz_ref, pn_ref, hprev_ref, dys_ref,
+def _bwd_kernel(gates_ref, hu_ref, rhu_ref, uf_ref, prz_ref, pn_ref,
+                hprev_ref, dys_ref,
                 dgi_ref, duf_ref, dprz_ref, dpn_ref, dh0_ref,
                 dh_s, duf_s, dprz_s, dpn_s, *, hp, lowrank, sblk):
     b = pl.program_id(0)
@@ -127,21 +148,12 @@ def _bwd_kernel(gi_ref, uf_ref, prz_ref, pn_ref, hprev_ref, dys_ref,
     for st in range(sblk - 1, -1, -1):
         h_prev = hprev_ref[st]
 
-        # recompute forward activations
-        if lowrank:
-            hu = jnp.dot(h_prev, uf_ref[:], preferred_element_type=jnp.float32)
-            rz = jnp.dot(hu, prz_ref[:], preferred_element_type=jnp.float32)
-        else:
-            rz = jnp.dot(h_prev, prz_ref[:], preferred_element_type=jnp.float32)
-        r = jax.nn.sigmoid(gi_ref[st, :, :hp] + rz[:, :hp])
-        z = jax.nn.sigmoid(gi_ref[st, :, hp:2 * hp] + rz[:, hp:])
+        # saved forward activations — zero recompute
+        gates = gates_ref[st]
+        r = gates[:, :hp]
+        z = gates[:, hp:2 * hp]
+        n = gates[:, 2 * hp:]
         rh = r * h_prev
-        if lowrank:
-            rhu = jnp.dot(rh, uf_ref[:], preferred_element_type=jnp.float32)
-            nn = jnp.dot(rhu, pn_ref[:], preferred_element_type=jnp.float32)
-        else:
-            nn = jnp.dot(rh, pn_ref[:], preferred_element_type=jnp.float32)
-        n = jnp.tanh(gi_ref[st, :, 2 * hp:] + nn)
 
         dh = dh_carry + dys_ref[st]
         dz = dh * (h_prev - n)
@@ -151,7 +163,7 @@ def _bwd_kernel(gi_ref, uf_ref, prz_ref, pn_ref, hprev_ref, dys_ref,
         dn_pre = dn * (1.0 - n * n)                      # d gi_n
         if lowrank:
             drhu = jnp.dot(dn_pre, pn_ref[:].T, preferred_element_type=jnp.float32)
-            dpn_t = jnp.dot(rhu.T, dn_pre, preferred_element_type=jnp.float32)
+            dpn_t = jnp.dot(rhu_ref[st].T, dn_pre, preferred_element_type=jnp.float32)
             drh = jnp.dot(drhu, uf_ref[:].T, preferred_element_type=jnp.float32)
             duf_t = jnp.dot(rh.T, drhu, preferred_element_type=jnp.float32)
         else:
@@ -165,7 +177,7 @@ def _bwd_kernel(gi_ref, uf_ref, prz_ref, pn_ref, hprev_ref, dys_ref,
         drz = jnp.concatenate([dr_pre, dz_pre], axis=-1)
         if lowrank:
             dhu = jnp.dot(drz, prz_ref[:].T, preferred_element_type=jnp.float32)
-            dprz_t = jnp.dot(hu.T, drz, preferred_element_type=jnp.float32)
+            dprz_t = jnp.dot(hu_ref[st].T, drz, preferred_element_type=jnp.float32)
             dh_prev = dh_prev + jnp.dot(dhu, uf_ref[:].T,
                                         preferred_element_type=jnp.float32)
             duf_t = duf_t + jnp.dot(h_prev.T, dhu, preferred_element_type=jnp.float32)
@@ -197,13 +209,16 @@ def _bwd_kernel(gi_ref, uf_ref, prz_ref, pn_ref, hprev_ref, dys_ref,
         dpn_ref[:] = dpn_s[:]
 
 
-def _bwd_call(gi, uf, prz, pn, hprev, dys, *, lowrank, interpret):
-    t, bp, threehp = gi.shape
+def _bwd_call(gates, hu, rhu, uf, prz, pn, hprev, dys, *, lowrank, interpret):
+    t, bp, threehp = gates.shape
     hp = threehp // 3
+    rp = hu.shape[-1]
     sblk, bt = _pick_tiles(t, bp, threehp, live=16)
     nb = bp // bt if bp % bt == 0 else -(-bp // bt)
     bpad = nb * bt
-    gi = _pad_to(gi, (t, bpad, threehp))
+    gates = _pad_to(gates, (t, bpad, threehp))
+    hu = _pad_to(hu, (t, bpad, rp))
+    rhu = _pad_to(rhu, (t, bpad, rp))
     hprev = _pad_to(hprev, (t, bpad, hp))
     dys = _pad_to(dys, (t, bpad, hp))
 
@@ -215,7 +230,9 @@ def _bwd_call(gi, uf, prz, pn, hprev, dys, *, lowrank, interpret):
         functools.partial(_bwd_kernel, hp=hp, lowrank=lowrank, sblk=sblk),
         grid=(nb, ntb),
         in_specs=[
-            pl.BlockSpec((sblk, bt, threehp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((sblk, bt, threehp), rev, memory_space=pltpu.VMEM),  # gates
+            pl.BlockSpec((sblk, bt, rp), rev, memory_space=pltpu.VMEM),       # h@Uf
+            pl.BlockSpec((sblk, bt, rp), rev, memory_space=pltpu.VMEM),       # (r h)@Uf
             pl.BlockSpec(uf.shape, const, memory_space=pltpu.VMEM),
             pl.BlockSpec(prz.shape, const, memory_space=pltpu.VMEM),
             pl.BlockSpec(pn.shape, const, memory_space=pltpu.VMEM),
@@ -244,7 +261,7 @@ def _bwd_call(gi, uf, prz, pn, hprev, dys, *, lowrank, interpret):
         ],
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(gi, uf, prz, pn, hprev, dys)
+    )(gates, hu, rhu, uf, prz, pn, hprev, dys)
     dgi, duf, dprz, dpn, dh0 = out
     return dgi[:, :bp], duf, dprz, dpn, dh0[:bp]
 
@@ -255,19 +272,25 @@ def _bwd_call(gi, uf, prz, pn, hprev, dys, *, lowrank, interpret):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def _scan_core(gi, uf, prz, pn, h0, lowrank, interpret):
-    return _fwd_call(gi, uf, prz, pn, h0, lowrank=lowrank, interpret=interpret)
+    ys, _, _, _ = _fwd_call(gi, uf, prz, pn, h0, lowrank=lowrank,
+                            interpret=interpret)
+    return ys
 
 
 def _scan_core_fwd(gi, uf, prz, pn, h0, lowrank, interpret):
-    ys = _fwd_call(gi, uf, prz, pn, h0, lowrank=lowrank, interpret=interpret)
-    return ys, (gi, uf, prz, pn, h0, ys)
+    ys, gates, hu, rhu = _fwd_call(gi, uf, prz, pn, h0, lowrank=lowrank,
+                                   interpret=interpret)
+    # gi is not a residual: dgi is the concatenated gate pre-grads and the
+    # backward reconstructs everything from the saved activations.
+    return ys, (uf, prz, pn, h0, ys, gates, hu, rhu)
 
 
 def _scan_core_bwd(lowrank, interpret, res, dys):
-    gi, uf, prz, pn, h0, ys = res
+    uf, prz, pn, h0, ys, gates, hu, rhu = res
     hprev = jnp.concatenate([h0[None], ys[:-1]], axis=0)
     dgi, duf, dprz, dpn, dh0 = _bwd_call(
-        gi, uf, prz, pn, hprev, dys, lowrank=lowrank, interpret=interpret)
+        gates, hu, rhu, uf, prz, pn, hprev, dys,
+        lowrank=lowrank, interpret=interpret)
     return dgi, duf, dprz, dpn, dh0
 
 

@@ -20,10 +20,14 @@ iteration and pays per-step loop overhead.  These kernels instead run the
   * large batches are tiled over an outer grid dimension (the recurrence is
     embarrassingly parallel in batch), keeping VMEM bounded at any B.
 
-A custom VJP pairs it with a reverse-grid backward kernel that recomputes the
-gate pre-activations from the saved hidden/cell sequences (one extra rank-r
-matmul per step) and accumulates dU, dV, ddvec in VMEM — BPTT memory is
-O(T·B·h) for the saved states, never O(T·B·4h) for gates.
+A custom VJP pairs it with a reverse-grid backward kernel.  The forward
+kernel saves the post-nonlinearity gates and rank-space activations h@U, so
+the backward performs ZERO recompute matmuls (down from two dependent MXU ops
+per step) and never re-streams gi (dgi == dpre); dU, dV, ddvec accumulate in
+VMEM across all grid steps.  This trades O(T·B·(4h + r)) residual memory for
+a ~1/3 shorter backward MXU chain — the right side of the trade on TPU, where
+the serial recurrence is MXU-stream-bound and HBM capacity is ample at these
+sizes (a PTB chunk's gates are ~7 MB/layer).
 
 Covers cells whose recurrence is ``h @ (U V) + h ⊙ dvec``: VMLMFCell
 (U=u_h, V=v_hᵀ, dvec=d_h − dcorr_h), low-rank LSTMCell (dvec=0), dense
@@ -101,10 +105,13 @@ def _compiler_params():
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(gi_ref, u_ref, v_ref, dvec_ref, h0_ref, c0_ref,
-                ys_ref, cs_ref, h_s, c_s, *, hp, lowrank, bf16, sblk):
+                ys_ref, cs_ref, gates_ref, hu_ref, h_s, c_s,
+                *, hp, lowrank, bf16, sblk):
     """Grid (batch_blocks, T // sblk); the minor grid dim walks time, each
     grid step running `sblk` recurrence steps (static inner loop) with the
-    (h, c) carry in scratch."""
+    (h, c) carry in scratch.  Saves the post-nonlinearity gates (and, on the
+    low-rank path, the rank-space activations h@U) so the backward kernel
+    needs zero recompute matmuls and never re-reads gi."""
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -118,10 +125,12 @@ def _fwd_kernel(gi_ref, u_ref, v_ref, dvec_ref, h0_ref, c0_ref,
         h_mm = h.astype(jnp.bfloat16) if bf16 else h  # u/v refs arrive pre-cast
         if lowrank:
             hu = jnp.dot(h_mm, u_ref[:], preferred_element_type=jnp.float32)
+            hu_ref[st] = hu
             hu = hu.astype(jnp.bfloat16) if bf16 else hu
             gr = jnp.dot(hu, v_ref[:], preferred_element_type=jnp.float32)
         else:
             gr = jnp.dot(h_mm, u_ref[:], preferred_element_type=jnp.float32)
+            hu_ref[st] = jnp.zeros(hu_ref.shape[1:], jnp.float32)
         htile = jnp.concatenate([h, h, h, h], axis=-1)
         pre = gi_ref[st] + gr + htile * dvec_ref[:]
 
@@ -129,6 +138,7 @@ def _fwd_kernel(gi_ref, u_ref, v_ref, dvec_ref, h0_ref, c0_ref,
         f = jax.nn.sigmoid(pre[:, hp:2 * hp])
         g = jnp.tanh(pre[:, 2 * hp:3 * hp])
         o = jax.nn.sigmoid(pre[:, 3 * hp:])
+        gates_ref[st] = jnp.concatenate([i, f, g, o], axis=-1)
         c = f * c + i * g
         h = o * jnp.tanh(c)
         ys_ref[st] = h
@@ -141,7 +151,7 @@ def _fwd_kernel(gi_ref, u_ref, v_ref, dvec_ref, h0_ref, c0_ref,
 def _fwd_call(gi, u, v, dvec, h0, c0, *, lowrank, interpret, bf16):
     t, bp, fourhp = gi.shape
     hp = fourhp // 4
-    sblk, bt = _pick_tiles(t, bp, fourhp, live=8)
+    sblk, bt = _pick_tiles(t, bp, fourhp, live=10)
     nb = bp // bt if bp % bt == 0 else -(-bp // bt)
     gi = _pad_to(gi, (t, nb * bt, fourhp))
     h0 = _pad_to(h0, (nb * bt, hp))
@@ -149,6 +159,7 @@ def _fwd_call(gi, u, v, dvec, h0, c0, *, lowrank, interpret, bf16):
     if bf16:
         u = u.astype(jnp.bfloat16)
         v = v.astype(jnp.bfloat16)
+    rp = u.shape[1] if lowrank else 128  # saved h@U rank dim (placeholder if dense)
 
     step = lambda b, tt: (tt, b, 0)
     row = lambda b, tt: (b, 0)
@@ -168,10 +179,14 @@ def _fwd_call(gi, u, v, dvec, h0, c0, *, lowrank, interpret, bf16):
         out_specs=[
             pl.BlockSpec((sblk, bt, hp), step, memory_space=pltpu.VMEM),
             pl.BlockSpec((sblk, bt, hp), step, memory_space=pltpu.VMEM),
+            pl.BlockSpec((sblk, bt, fourhp), step, memory_space=pltpu.VMEM),
+            pl.BlockSpec((sblk, bt, rp), step, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t, nb * bt, hp), jnp.float32),
             jax.ShapeDtypeStruct((t, nb * bt, hp), jnp.float32),
+            jax.ShapeDtypeStruct((t, nb * bt, fourhp), jnp.float32),
+            jax.ShapeDtypeStruct((t, nb * bt, rp), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bt, hp), jnp.float32),
@@ -180,20 +195,26 @@ def _fwd_call(gi, u, v, dvec, h0, c0, *, lowrank, interpret, bf16):
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(gi, u, v, dvec, h0, c0)
-    return out[0][:, :bp], out[1][:, :bp]  # ys, cs
+    # ys, cs, gates (post-nonlinearity), hu (rank activations; zeros if dense)
+    return out[0][:, :bp], out[1][:, :bp], out[2][:, :bp], out[3][:, :bp]
 
 
 # ---------------------------------------------------------------------------
 # backward kernel (reverse grid)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(gi_ref, u_ref, v_ref, dvec_ref, hprev_ref, cprev_ref, cs_ref,
-                dys_ref, dcs_ref,
+def _bwd_kernel(gates_ref, hu_ref, u_ref, v_ref, dvec_ref, hprev_ref,
+                cprev_ref, cs_ref, dys_ref, dcs_ref,
                 dgi_ref, du_ref, dv_ref, ddvec_ref, dh0_ref, dc0_ref,
                 dh_s, dc_s, du_s, dv_s, ddvec_s, *, hp, lowrank, bf16, sblk):
     """Grid (batch_blocks, T // sblk); grid step k of batch block b processes
     the time block [T - (k+1)·sblk, T - k·sblk) in reverse inside a static
-    loop.  dU/dV/ddvec accumulate in scratch across ALL grid steps."""
+    loop.  dU/dV/ddvec accumulate in scratch across ALL grid steps.
+
+    Zero recompute: the forward kernel saved the post-nonlinearity gates and
+    the rank-space activations h@U, so this kernel streams them instead of
+    re-deriving them (saves two dependent MXU ops per step and never touches
+    gi at all — dgi is just dpre)."""
     b = pl.program_id(0)
     k = pl.program_id(1)
     nb = pl.num_programs(0)
@@ -219,20 +240,13 @@ def _bwd_kernel(gi_ref, u_ref, v_ref, dvec_ref, hprev_ref, cprev_ref, cs_ref,
         c_prev = cprev_ref[st]
         c_t = cs_ref[st]
 
-        # recompute pre-activations (forward math, one extra matmul)
         h_mm = h_prev.astype(jnp.bfloat16) if bf16 else h_prev
-        if lowrank:
-            hu = jnp.dot(h_mm, u_ref[:], preferred_element_type=jnp.float32)
-            hu_mm = hu.astype(jnp.bfloat16) if bf16 else hu
-            gr = jnp.dot(hu_mm, v_ref[:], preferred_element_type=jnp.float32)
-        else:
-            gr = jnp.dot(h_mm, u_ref[:], preferred_element_type=jnp.float32)
+        gates = gates_ref[st]
+        i = gates[:, :hp]
+        f = gates[:, hp:2 * hp]
+        g = gates[:, 2 * hp:3 * hp]
+        o = gates[:, 3 * hp:]
         htile = jnp.concatenate([h_prev] * 4, axis=-1)
-        pre = gi_ref[st] + gr + htile * dvec_ref[:]
-        i = jax.nn.sigmoid(pre[:, :hp])
-        f = jax.nn.sigmoid(pre[:, hp:2 * hp])
-        g = jnp.tanh(pre[:, 2 * hp:3 * hp])
-        o = jax.nn.sigmoid(pre[:, 3 * hp:])
 
         dh = dh_carry + dys_ref[st]
         tanh_c = jnp.tanh(c_t)
@@ -267,8 +281,9 @@ def _bwd_kernel(gi_ref, u_ref, v_ref, dvec_ref, hprev_ref, cprev_ref, cs_ref,
             dh_prev = dh_prev + jnp.dot(dhu_mm, u_ref[:].T,
                                         preferred_element_type=jnp.float32)
             du_t = jnp.dot(h_mm.T, dhu_mm, preferred_element_type=jnp.float32)
-            dv_t = jnp.dot((hu_mm if bf16 else hu).T, dpre_mm,
-                           preferred_element_type=jnp.float32)
+            hu = hu_ref[st]
+            hu_mm = hu.astype(jnp.bfloat16) if bf16 else hu
+            dv_t = jnp.dot(hu_mm.T, dpre_mm, preferred_element_type=jnp.float32)
             dv_acc = dv_t if dv_acc is None else dv_acc + dv_t
         else:
             dh_prev = dh_prev + jnp.dot(dpre_mm, u_ref[:].T,
@@ -297,13 +312,16 @@ def _bwd_kernel(gi_ref, u_ref, v_ref, dvec_ref, hprev_ref, cprev_ref, cs_ref,
         ddvec_ref[:] = ddvec_s[:]
 
 
-def _bwd_call(gi, u, v, dvec, hprev, cprev, cs, dys, dcs, *, lowrank, interpret, bf16):
-    t, bp, fourhp = gi.shape
+def _bwd_call(gates, hu, u, v, dvec, hprev, cprev, cs, dys, dcs,
+              *, lowrank, interpret, bf16):
+    t, bp, fourhp = gates.shape
     hp = fourhp // 4
+    rp = hu.shape[-1]
     sblk, bt = _pick_tiles(t, bp, fourhp, live=16)
     nb = bp // bt if bp % bt == 0 else -(-bp // bt)
     bpad = nb * bt
-    gi = _pad_to(gi, (t, bpad, fourhp))
+    gates = _pad_to(gates, (t, bpad, fourhp))
+    hu = _pad_to(hu, (t, bpad, rp))
     hprev = _pad_to(hprev, (t, bpad, hp))
     cprev = _pad_to(cprev, (t, bpad, hp))
     cs = _pad_to(cs, (t, bpad, hp))
@@ -322,7 +340,8 @@ def _bwd_call(gi, u, v, dvec, hprev, cprev, cs, dys, dcs, *, lowrank, interpret,
                           sblk=sblk),
         grid=(nb, ntb),
         in_specs=[
-            pl.BlockSpec((sblk, bt, fourhp), rev, memory_space=pltpu.VMEM),  # gi
+            pl.BlockSpec((sblk, bt, fourhp), rev, memory_space=pltpu.VMEM),  # gates
+            pl.BlockSpec((sblk, bt, rp), rev, memory_space=pltpu.VMEM),      # h@U
             pl.BlockSpec(u.shape, const, memory_space=pltpu.VMEM),
             pl.BlockSpec(v.shape, const, memory_space=pltpu.VMEM),
             pl.BlockSpec(dvec.shape, const, memory_space=pltpu.VMEM),
@@ -357,7 +376,7 @@ def _bwd_call(gi, u, v, dvec, hprev, cprev, cs, dys, dcs, *, lowrank, interpret,
         ],
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(gi, u, v, dvec, hprev, cprev, cs, dys, dcs)
+    )(gates, hu, u, v, dvec, hprev, cprev, cs, dys, dcs)
     dgi, du, dv, ddvec, dh0, dc0 = out
     return dgi[:, :bp], du, dv, ddvec, dh0[:bp], dc0[:bp]
 
@@ -368,24 +387,26 @@ def _bwd_call(gi, u, v, dvec, hprev, cprev, cs, dys, dcs, *, lowrank, interpret,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def _scan_core(gi, u, v, dvec, h0, c0, lowrank, interpret, bf16):
-    ys, cs = _fwd_call(gi, u, v, dvec, h0, c0, lowrank=lowrank,
-                       interpret=interpret, bf16=bf16)
+    ys, cs, _, _ = _fwd_call(gi, u, v, dvec, h0, c0, lowrank=lowrank,
+                             interpret=interpret, bf16=bf16)
     return ys, cs
 
 
 def _scan_core_fwd(gi, u, v, dvec, h0, c0, lowrank, interpret, bf16):
-    ys, cs = _fwd_call(gi, u, v, dvec, h0, c0, lowrank=lowrank,
-                       interpret=interpret, bf16=bf16)
-    return (ys, cs), (gi, u, v, dvec, h0, c0, ys, cs)
+    ys, cs, gates, hu = _fwd_call(gi, u, v, dvec, h0, c0, lowrank=lowrank,
+                                  interpret=interpret, bf16=bf16)
+    # gi is NOT a residual: dgi == dpre and the backward kernel reconstructs
+    # everything from the saved gates / rank activations.
+    return (ys, cs), (u, v, dvec, h0, c0, ys, cs, gates, hu)
 
 
 def _scan_core_bwd(lowrank, interpret, bf16, res, cts):
     dys, dcs = cts
-    gi, u, v, dvec, h0, c0, ys, cs = res
+    u, v, dvec, h0, c0, ys, cs, gates, hu = res
     hprev = jnp.concatenate([h0[None], ys[:-1]], axis=0)
     cprev = jnp.concatenate([c0[None], cs[:-1]], axis=0)
     dgi, du, dv, ddvec, dh0, dc0 = _bwd_call(
-        gi, u, v, dvec, hprev, cprev, cs, dys, dcs,
+        gates, hu, u, v, dvec, hprev, cprev, cs, dys, dcs,
         lowrank=lowrank, interpret=interpret, bf16=bf16)
     return dgi, du, dv, ddvec, dh0, dc0
 
