@@ -140,6 +140,35 @@ class TestCheckpoint:
         assert name == "vmmodel_L180_w8_u6_opp_seed3"
 
 
+class TestOrbaxCheckpoint:
+    def test_roundtrip_and_sharded_restore(self, tmp_path):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vmlmf_tpu.parallel.mesh import make_mesh
+        from vmlmf_tpu.train.checkpoint import (
+            load_checkpoint_orbax,
+            save_checkpoint_orbax,
+        )
+
+        state = {"params": {"w": jnp.arange(32.0).reshape(8, 4)},
+                 "step": jnp.int32(7)}
+        path = str(tmp_path / "ckpt")
+        save_checkpoint_orbax(path, state)
+
+        like = {"params": {"w": jnp.zeros((8, 4))}, "step": jnp.int32(0)}
+        out = load_checkpoint_orbax(path, like)
+        np.testing.assert_allclose(out["params"]["w"], state["params"]["w"])
+        assert int(out["step"]) == 7
+
+        mesh = make_mesh(data=8, model=1)
+        shardings = {"params": {"w": NamedSharding(mesh, P("data", None))},
+                     "step": NamedSharding(mesh, P())}
+        out = load_checkpoint_orbax(path, like, shardings=shardings)
+        assert out["params"]["w"].sharding == shardings["params"]["w"]
+        np.testing.assert_allclose(out["params"]["w"], state["params"]["w"])
+
+
 class TestAnalytics:
     def test_flops_formula_matches_reference_closed_form(self):
         from vmlmf_tpu.utils.analytics import lstm_cell_flops

@@ -79,3 +79,42 @@ def load_checkpoint(path, like, *, shardings=None):
 def checkpoint_meta(path):
     with open(os.path.join(path, "meta.json")) as f:
         return json.load(f)["meta"]
+
+
+# -- Orbax interop -----------------------------------------------------------
+# The ecosystem-standard checkpointer, for users whose infra already speaks
+# Orbax (async/multi-host checkpointing, GCS paths).  The npz format above
+# stays the default: dependency-free, diffable, and sufficient for the
+# reference's workloads.
+
+def save_checkpoint_orbax(path, state):
+    """Write `state` (any pytree) as an Orbax PyTree checkpoint."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), state)
+    return path
+
+
+def load_checkpoint_orbax(path, like=None, *, shardings=None):
+    """Restore an Orbax checkpoint; with `like`/`shardings`, restore each
+    leaf directly onto its mesh shards (sharding-aware restore)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        if like is not None:
+            if shardings is not None:
+                restore_args = jax.tree_util.tree_map(
+                    lambda _, s: ocp.ArrayRestoreArgs(sharding=s),
+                    like, shardings)
+            else:
+                restore_args = jax.tree_util.tree_map(
+                    lambda _: ocp.RestoreArgs(), like)
+            state = ckptr.restore(os.path.abspath(path),
+                                  args=ocp.args.PyTreeRestore(
+                                      item=like, restore_args=restore_args))
+        else:
+            state = ckptr.restore(os.path.abspath(path))
+    if shardings is not None and like is None:
+        state = jax.device_put(state, shardings)
+    return state
