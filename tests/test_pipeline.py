@@ -138,6 +138,23 @@ class TestLMModelPipelined:
         assert jnp.isfinite(l1).all()
         assert not jnp.allclose(l1, l2)  # dropout masks actually differ
 
+    def test_head_bf16_close_to_f32_and_trains(self):
+        m0, m1 = self._models("xla"), None
+        m1 = LMModel(
+            vocab_size=50, hidden_size=16, num_layers=2,
+            cell_factory=lambda n, h: VMLMFCell(n, h, w_rank=6, u_rank=6),
+            dropout_rate=0.5, winit=0.05, backend="xla", head_bf16=True,
+        )
+        params = m0.init(jax.random.PRNGKey(0))
+        states = m0.state0(4)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (9, 4), 0, 50)
+        l0, _ = m0.apply(params, ids, states, train=False)
+        l1, _ = m1.apply(params, ids, states, train=False)
+        assert l1.dtype == jnp.float32
+        np.testing.assert_allclose(l0, l1, atol=0.05)
+        g = jax.grad(lambda p: jnp.sum(m1.apply(p, ids, states, train=False)[0] ** 2))(params)
+        assert all(jnp.isfinite(x).all() for x in jax.tree_util.tree_leaves(g))
+
     def test_trains_under_jit(self):
         from vmlmf_tpu.train.lm import LMTrainer
 

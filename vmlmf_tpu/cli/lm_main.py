@@ -38,6 +38,8 @@ def get_args(argv=None):
     p.add_argument("--uRanks", type=int, nargs="+", default=[300])
     p.add_argument("--group", type=int, default=2)
     p.add_argument("--tie", action="store_true", help="tie embedding and softmax weights")
+    p.add_argument("--head_bf16", action="store_true",
+                   help="bf16 softmax-projection matmul with f32 accumulation")
     p.add_argument("--data_dir", type=str, default="./data")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--vocab_size", type=int, default=1000, help="synthetic vocab")
@@ -62,7 +64,7 @@ def main(argv=None):
         total_epochs=args.total_epochs, factor_epoch=args.factor_epoch,
         factor=args.factor, max_grad_norm=args.max_grad_norm, seed=args.seed,
         data_dir=None if args.synthetic else args.data_dir,
-        backend=args.backend,
+        backend=args.backend, head_bf16=args.head_bf16,
     )
 
     trn_ids, vld_ids, tst_ids, vocab = ptb.load_or_synthesize(

@@ -117,6 +117,7 @@ class LMConfig:
     u_ranks: tuple = (300,)
     groups: int = 2
     tie_embeddings: bool = False
+    head_bf16: bool = False        # bf16 softmax-projection matmul (f32 accum)
     # training
     batch_size: int = 20
     seq_length: int = 35
@@ -147,5 +148,5 @@ class LMConfig:
             vocab_size, self.hidden_size, self.layer_num,
             cell_factory=self.cell_factory(), dropout_rate=self.dropout,
             winit=self.winit, tie_embeddings=self.tie_embeddings,
-            backend=self.backend,
+            backend=self.backend, head_bf16=self.head_bf16,
         )

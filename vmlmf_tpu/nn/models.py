@@ -173,6 +173,11 @@ class LMModel:
     winit: float = 0.05
     tie_embeddings: bool = False
     backend: str = "xla"
+    # bf16 inputs to the [T*B, h] @ [h, V] softmax projection with f32
+    # accumulation (params stay f32; logits/loss stay f32).  The head matmul
+    # is the FLOPs king of the LM step at large batch — opt-in mixed
+    # precision for throughput-oriented training/serving.
+    head_bf16: bool = False
 
     def __post_init__(self, cell_factory):
         object.__setattr__(self, "embed", Embed(self.vocab_size, self.hidden_size))
@@ -198,6 +203,15 @@ class LMModel:
     def state0(self, batch, dtype=jnp.float32):
         return self.rnn.state0(batch, dtype)
 
+    def _logits(self, params, x):
+        w = params["embed"]["w"].T if self.tie_embeddings else params["fc"]["w"]
+        if self.head_bf16:
+            y = jnp.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        else:
+            y = x @ w
+        return y + params["fc"]["b"]
+
     def apply(self, params, ids, states, *, rng=None, train=False):
         """ids: [T, B] int32 -> (logits [T, B, V], new_states)."""
         det = not train
@@ -221,8 +235,7 @@ class LMModel:
                     dropout_rate=self.dropout_rate, rng=drop_rng)
                 kl = keys[-1]
                 x = dropout(kl, x, self.dropout_rate, det or kl is None)
-                w = params["embed"]["w"].T if self.tie_embeddings else params["fc"]["w"]
-                return x @ w + params["fc"]["b"], new_states
+                return self._logits(params, x), new_states
         new_states = []
         for i, (cell, p) in enumerate(zip(self.rnn.cells, params["rnn"])):
             prep = cell.prepare(p)
@@ -230,6 +243,4 @@ class LMModel:
             new_states.append(sf)
             ki = keys[1 + i]
             x = dropout(ki, x, self.dropout_rate, det or ki is None)
-        w = params["embed"]["w"].T if self.tie_embeddings else params["fc"]["w"]
-        logits = x @ w + params["fc"]["b"]
-        return logits, new_states
+        return self._logits(params, x), new_states
