@@ -26,10 +26,14 @@ def _stack(cell_cls, sizes, **kw):
     )
 
 
-def _run_both(cells, t=7, batch=3, seed=0):
+def _run_both(cells, t=7, batch=3, seed=0, require_pipelined=True):
     rnn_seq = RNN(cells, backend="xla")
     rnn_pipe = RNN(cells, backend="pipelined")
     params = rnn_seq.init(jax.random.PRNGKey(seed))
+    if require_pipelined:
+        # guard against this test silently comparing xla against xla
+        preps = [c.prepare(p) for c, p in zip(cells, params)]
+        assert pipelined_available(cells, preps)
     xs = jax.random.normal(jax.random.PRNGKey(seed + 1), (t, batch, cells[0].input_size))
     ys_a, fin_a = rnn_seq(params, xs, time_major=True)
     ys_b, fin_b = rnn_pipe(params, xs, time_major=True)
@@ -40,7 +44,7 @@ class TestPipelinedParity:
     @pytest.mark.parametrize("layers", [2, 3])
     def test_vmlmf_matches_sequential(self, layers):
         sizes = (5,) + (12,) * layers  # layer 0 input 5 != hidden (pad path)
-        cells = _stack(VMLMFCell, sizes, w_rank=4, u_rank=3)
+        cells = _stack(VMLMFCell, sizes, w_rank=4, u_rank=4)
         (ys_a, fin_a), (ys_b, fin_b) = _run_both(cells)
         np.testing.assert_allclose(ys_a, ys_b, atol=1e-5, rtol=1e-5)
         for (ha, ca), (hb, cb) in zip(fin_a, fin_b):
@@ -76,6 +80,19 @@ class TestPipelinedParity:
         dense = _stack(LSTMCell, (8, 8, 8))
         preps = [c.prepare(c.init(jax.random.PRNGKey(i))) for i, c in enumerate(dense)]
         assert not pipelined_available(dense, preps)
+        # unequal factor ranks can't stack into one bmm -> not available,
+        # and the fallback emits a one-time warning
+        uneq = _stack(VMLMFCell, (8, 8, 8), w_rank=4, u_rank=3)
+        preps = [c.prepare(c.init(jax.random.PRNGKey(i))) for i, c in enumerate(uneq)]
+        assert not pipelined_available(uneq, preps)
+        rnn = RNN(uneq, backend="pipelined")
+        params = rnn.init(jax.random.PRNGKey(0))
+        xs = jax.random.normal(jax.random.PRNGKey(1), (4, 2, 8))
+        import vmlmf_tpu.ops.pipeline as pipe_mod
+
+        pipe_mod._warned.clear()
+        with pytest.warns(UserWarning, match="uniform LSTM-family stack"):
+            rnn(params, xs, time_major=True)
         # single layer -> not available
         one = _stack(VMLMFCell, (8, 8), w_rank=2, u_rank=2)
         preps = [one[0].prepare(one[0].init(jax.random.PRNGKey(0)))]
@@ -120,6 +137,8 @@ class TestLMModelPipelined:
     def test_eval_matches_xla_backend(self):
         m_a, m_b = self._models("xla"), self._models("pipelined")
         params = m_a.init(jax.random.PRNGKey(0))
+        preps = [c.prepare(p) for c, p in zip(m_b.rnn.cells, params["rnn"])]
+        assert pipelined_available(m_b.rnn.cells, preps)  # not vacuous
         states = m_a.state0(4)
         ids = jax.random.randint(jax.random.PRNGKey(1), (9, 4), 0, 50)
         logits_a, st_a = m_a.apply(params, ids, states, train=False)

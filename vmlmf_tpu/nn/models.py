@@ -223,9 +223,12 @@ class LMModel:
             from vmlmf_tpu.ops.pipeline import (
                 pipelined_available,
                 pipelined_lstm_scan,
+                warn_fallback,
             )
 
             preps = [c.prepare(p) for c, p in zip(self.rnn.cells, params["rnn"])]
+            if not pipelined_available(self.rnn.cells, preps):
+                warn_fallback(self.rnn.cells)
             if pipelined_available(self.rnn.cells, preps):
                 # inter-layer dropout (fresh mask per timestep) runs inside
                 # the wavefront scan; the last layer's output dropout below.

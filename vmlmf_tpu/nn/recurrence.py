@@ -123,6 +123,7 @@ class RNN:
             from vmlmf_tpu.ops.pipeline import (
                 pipelined_available,
                 pipelined_lstm_scan,
+                warn_fallback,
             )
 
             preps = [c.prepare(p) for c, p in zip(self.cells, params)]
@@ -132,6 +133,7 @@ class RNN:
                 if not time_major:
                     ys = jnp.swapaxes(ys, 0, 1)
                 return ys, finals
+            warn_fallback(self.cells)
         finals = []
         for cell, p, s0 in zip(self.cells, params, states):
             prep = cell.prepare(p)

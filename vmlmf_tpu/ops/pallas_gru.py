@@ -44,7 +44,16 @@ from vmlmf_tpu.ops.pallas_scan import (
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(gi_ref, uf_ref, prz_ref, pn_ref, h0_ref,
-                ys_ref, gates_ref, hu_ref, rhu_ref, h_s, *, hp, lowrank, sblk):
+                *refs, hp, lowrank, sblk, residuals):
+    if residuals:
+        if lowrank:
+            ys_ref, gates_ref, hu_ref, rhu_ref, h_s = refs
+        else:
+            ys_ref, gates_ref, h_s = refs
+            hu_ref = rhu_ref = None
+    else:
+        ys_ref, h_s = refs
+        gates_ref = hu_ref = rhu_ref = None
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -55,42 +64,56 @@ def _fwd_kernel(gi_ref, uf_ref, prz_ref, pn_ref, h0_ref,
     for st in range(sblk):
         if lowrank:
             hu = jnp.dot(h, uf_ref[:], preferred_element_type=jnp.float32)
-            hu_ref[st] = hu
+            if hu_ref is not None:
+                hu_ref[st] = hu
             rz = jnp.dot(hu, prz_ref[:], preferred_element_type=jnp.float32)
         else:
             rz = jnp.dot(h, prz_ref[:], preferred_element_type=jnp.float32)
-            hu_ref[st] = jnp.zeros(hu_ref.shape[1:], jnp.float32)
         r = jax.nn.sigmoid(gi_ref[st, :, :hp] + rz[:, :hp])
         z = jax.nn.sigmoid(gi_ref[st, :, hp:2 * hp] + rz[:, hp:])
         rh = r * h
         if lowrank:
             rhu = jnp.dot(rh, uf_ref[:], preferred_element_type=jnp.float32)
-            rhu_ref[st] = rhu
+            if rhu_ref is not None:
+                rhu_ref[st] = rhu
             nn = jnp.dot(rhu, pn_ref[:], preferred_element_type=jnp.float32)
         else:
             nn = jnp.dot(rh, pn_ref[:], preferred_element_type=jnp.float32)
-            rhu_ref[st] = jnp.zeros(rhu_ref.shape[1:], jnp.float32)
         n = jnp.tanh(gi_ref[st, :, 2 * hp:] + nn)
-        gates_ref[st] = jnp.concatenate([r, z, n], axis=-1)
+        if gates_ref is not None:
+            gates_ref[st] = jnp.concatenate([r, z, n], axis=-1)
         h = z * h + (1.0 - z) * n
         ys_ref[st] = h
     h_s[:] = h
 
 
-def _fwd_call(gi, uf, prz, pn, h0, *, lowrank, interpret):
+def _fwd_call(gi, uf, prz, pn, h0, *, lowrank, interpret, residuals):
     t, bp, threehp = gi.shape
     hp = threehp // 3
-    sblk, bt = _pick_tiles(t, bp, threehp, live=10)
+    sblk, bt = _pick_tiles(t, bp, threehp, live=10 if residuals else 8)
     nb = bp // bt if bp % bt == 0 else -(-bp // bt)
     gi = _pad_to(gi, (t, nb * bt, threehp))
     h0 = _pad_to(h0, (nb * bt, hp))
-    rp = uf.shape[1] if lowrank else 128  # saved rank-activation dim
 
     step = lambda b, k: (k, b, 0)
     row = lambda b, k: (b, 0)
     const = lambda b, k: (0, 0)
+    out_specs = [pl.BlockSpec((sblk, bt, hp), step, memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((t, nb * bt, hp), jnp.float32)]
+    if residuals:
+        out_specs.append(
+            pl.BlockSpec((sblk, bt, threehp), step, memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((t, nb * bt, threehp), jnp.float32))
+        if lowrank:
+            rp = uf.shape[1]
+            for _ in range(2):  # hu, rhu
+                out_specs.append(
+                    pl.BlockSpec((sblk, bt, rp), step, memory_space=pltpu.VMEM))
+                out_shape.append(
+                    jax.ShapeDtypeStruct((t, nb * bt, rp), jnp.float32))
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, hp=hp, lowrank=lowrank, sblk=sblk),
+        functools.partial(_fwd_kernel, hp=hp, lowrank=lowrank, sblk=sblk,
+                          residuals=residuals),
         grid=(nb, t // sblk),
         in_specs=[
             pl.BlockSpec((sblk, bt, threehp), step, memory_space=pltpu.VMEM),
@@ -99,34 +122,30 @@ def _fwd_call(gi, uf, prz, pn, h0, *, lowrank, interpret):
             pl.BlockSpec(pn.shape, const, memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, hp), row, memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((sblk, bt, hp), step, memory_space=pltpu.VMEM),
-            pl.BlockSpec((sblk, bt, threehp), step, memory_space=pltpu.VMEM),
-            pl.BlockSpec((sblk, bt, rp), step, memory_space=pltpu.VMEM),
-            pl.BlockSpec((sblk, bt, rp), step, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((t, nb * bt, hp), jnp.float32),
-            jax.ShapeDtypeStruct((t, nb * bt, threehp), jnp.float32),
-            jax.ShapeDtypeStruct((t, nb * bt, rp), jnp.float32),
-            jax.ShapeDtypeStruct((t, nb * bt, rp), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((bt, hp), jnp.float32)],
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(gi, uf, prz, pn, h0)
-    # ys, gates (r,z,n), hu, rhu (rank activations; zeros if dense)
-    return out[0][:, :bp], out[1][:, :bp], out[2][:, :bp], out[3][:, :bp]
+    # ys [, gates (r,z,n) [, hu, rhu]]
+    return tuple(o[:, :bp] for o in out)
 
 
 # ---------------------------------------------------------------------------
 # backward (reverse grid)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(gates_ref, hu_ref, rhu_ref, uf_ref, prz_ref, pn_ref,
-                hprev_ref, dys_ref,
-                dgi_ref, duf_ref, dprz_ref, dpn_ref, dh0_ref,
-                dh_s, duf_s, dprz_s, dpn_s, *, hp, lowrank, sblk):
+def _bwd_kernel(gates_ref, *refs, hp, lowrank, sblk):
+    if lowrank:
+        (hu_ref, rhu_ref, uf_ref, prz_ref, pn_ref, hprev_ref, dys_ref,
+         dgi_ref, duf_ref, dprz_ref, dpn_ref, dh0_ref,
+         dh_s, duf_s, dprz_s, dpn_s) = refs
+    else:
+        (uf_ref, prz_ref, pn_ref, hprev_ref, dys_ref,
+         dgi_ref, duf_ref, dprz_ref, dpn_ref, dh0_ref,
+         dh_s, duf_s, dprz_s, dpn_s) = refs
+        hu_ref = rhu_ref = None
     b = pl.program_id(0)
     k = pl.program_id(1)
     nb = pl.num_programs(0)
@@ -212,13 +231,10 @@ def _bwd_kernel(gates_ref, hu_ref, rhu_ref, uf_ref, prz_ref, pn_ref,
 def _bwd_call(gates, hu, rhu, uf, prz, pn, hprev, dys, *, lowrank, interpret):
     t, bp, threehp = gates.shape
     hp = threehp // 3
-    rp = hu.shape[-1]
     sblk, bt = _pick_tiles(t, bp, threehp, live=16)
     nb = bp // bt if bp % bt == 0 else -(-bp // bt)
     bpad = nb * bt
     gates = _pad_to(gates, (t, bpad, threehp))
-    hu = _pad_to(hu, (t, bpad, rp))
-    rhu = _pad_to(rhu, (t, bpad, rp))
     hprev = _pad_to(hprev, (t, bpad, hp))
     dys = _pad_to(dys, (t, bpad, hp))
 
@@ -226,19 +242,31 @@ def _bwd_call(gates, hu, rhu, uf, prz, pn, hprev, dys, *, lowrank, interpret):
     rev = lambda b, k: (ntb - 1 - k, b, 0)
     row = lambda b, k: (b, 0)
     const = lambda b, k: (0, 0)
+    in_specs = [
+        pl.BlockSpec((sblk, bt, threehp), rev, memory_space=pltpu.VMEM),  # gates
+    ]
+    operands = [gates]
+    if lowrank:
+        rp = hu.shape[-1]
+        hu = _pad_to(hu, (t, bpad, rp))
+        rhu = _pad_to(rhu, (t, bpad, rp))
+        in_specs += [
+            pl.BlockSpec((sblk, bt, rp), rev, memory_space=pltpu.VMEM),   # h@Uf
+            pl.BlockSpec((sblk, bt, rp), rev, memory_space=pltpu.VMEM),   # (r h)@Uf
+        ]
+        operands += [hu, rhu]
+    in_specs += [
+        pl.BlockSpec(uf.shape, const, memory_space=pltpu.VMEM),
+        pl.BlockSpec(prz.shape, const, memory_space=pltpu.VMEM),
+        pl.BlockSpec(pn.shape, const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((sblk, bt, hp), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((sblk, bt, hp), rev, memory_space=pltpu.VMEM),
+    ]
+    operands += [uf, prz, pn, hprev, dys]
     out = pl.pallas_call(
         functools.partial(_bwd_kernel, hp=hp, lowrank=lowrank, sblk=sblk),
         grid=(nb, ntb),
-        in_specs=[
-            pl.BlockSpec((sblk, bt, threehp), rev, memory_space=pltpu.VMEM),  # gates
-            pl.BlockSpec((sblk, bt, rp), rev, memory_space=pltpu.VMEM),       # h@Uf
-            pl.BlockSpec((sblk, bt, rp), rev, memory_space=pltpu.VMEM),       # (r h)@Uf
-            pl.BlockSpec(uf.shape, const, memory_space=pltpu.VMEM),
-            pl.BlockSpec(prz.shape, const, memory_space=pltpu.VMEM),
-            pl.BlockSpec(pn.shape, const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((sblk, bt, hp), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((sblk, bt, hp), rev, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((sblk, bt, threehp), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec(uf.shape, const, memory_space=pltpu.VMEM),
@@ -261,7 +289,7 @@ def _bwd_call(gates, hu, rhu, uf, prz, pn, hprev, dys, *, lowrank, interpret):
         ],
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(gates, hu, rhu, uf, prz, pn, hprev, dys)
+    )(*operands)
     dgi, duf, dprz, dpn, dh0 = out
     return dgi[:, :bp], duf, dprz, dpn, dh0[:bp]
 
@@ -272,14 +300,17 @@ def _bwd_call(gates, hu, rhu, uf, prz, pn, hprev, dys, *, lowrank, interpret):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def _scan_core(gi, uf, prz, pn, h0, lowrank, interpret):
-    ys, _, _, _ = _fwd_call(gi, uf, prz, pn, h0, lowrank=lowrank,
-                            interpret=interpret)
+    # no-grad primal: residual-free forward (no gates/hu/rhu HBM traffic)
+    (ys,) = _fwd_call(gi, uf, prz, pn, h0, lowrank=lowrank,
+                      interpret=interpret, residuals=False)
     return ys
 
 
 def _scan_core_fwd(gi, uf, prz, pn, h0, lowrank, interpret):
-    ys, gates, hu, rhu = _fwd_call(gi, uf, prz, pn, h0, lowrank=lowrank,
-                                   interpret=interpret)
+    out = _fwd_call(gi, uf, prz, pn, h0, lowrank=lowrank,
+                    interpret=interpret, residuals=True)
+    ys, gates = out[:2]
+    hu, rhu = (out[2], out[3]) if lowrank else (None, None)
     # gi is not a residual: dgi is the concatenated gate pre-grads and the
     # backward reconstructs everything from the saved activations.
     return ys, (uf, prz, pn, h0, ys, gates, hu, rhu)

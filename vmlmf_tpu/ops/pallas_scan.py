@@ -105,13 +105,25 @@ def _compiler_params():
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(gi_ref, u_ref, v_ref, dvec_ref, h0_ref, c0_ref,
-                ys_ref, cs_ref, gates_ref, hu_ref, h_s, c_s,
-                *, hp, lowrank, bf16, sblk):
+                *refs, hp, lowrank, bf16, sblk, residuals):
     """Grid (batch_blocks, T // sblk); the minor grid dim walks time, each
     grid step running `sblk` recurrence steps (static inner loop) with the
-    (h, c) carry in scratch.  Saves the post-nonlinearity gates (and, on the
-    low-rank path, the rank-space activations h@U) so the backward kernel
-    needs zero recompute matmuls and never re-reads gi."""
+    (h, c) carry in scratch.
+
+    With ``residuals`` (the autodiff forward), also saves the
+    post-nonlinearity gates (and, on the low-rank path, the rank-space
+    activations h@U) so the backward kernel needs zero recompute matmuls and
+    never re-reads gi.  The no-grad primal (inference/eval) skips those
+    outputs entirely — no extra HBM write traffic."""
+    if residuals:
+        if lowrank:
+            ys_ref, cs_ref, gates_ref, hu_ref, h_s, c_s = refs
+        else:
+            ys_ref, cs_ref, gates_ref, h_s, c_s = refs
+            hu_ref = None
+    else:
+        ys_ref, cs_ref, h_s, c_s = refs
+        gates_ref = hu_ref = None
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -125,12 +137,12 @@ def _fwd_kernel(gi_ref, u_ref, v_ref, dvec_ref, h0_ref, c0_ref,
         h_mm = h.astype(jnp.bfloat16) if bf16 else h  # u/v refs arrive pre-cast
         if lowrank:
             hu = jnp.dot(h_mm, u_ref[:], preferred_element_type=jnp.float32)
-            hu_ref[st] = hu
+            if hu_ref is not None:
+                hu_ref[st] = hu
             hu = hu.astype(jnp.bfloat16) if bf16 else hu
             gr = jnp.dot(hu, v_ref[:], preferred_element_type=jnp.float32)
         else:
             gr = jnp.dot(h_mm, u_ref[:], preferred_element_type=jnp.float32)
-            hu_ref[st] = jnp.zeros(hu_ref.shape[1:], jnp.float32)
         htile = jnp.concatenate([h, h, h, h], axis=-1)
         pre = gi_ref[st] + gr + htile * dvec_ref[:]
 
@@ -138,7 +150,8 @@ def _fwd_kernel(gi_ref, u_ref, v_ref, dvec_ref, h0_ref, c0_ref,
         f = jax.nn.sigmoid(pre[:, hp:2 * hp])
         g = jnp.tanh(pre[:, 2 * hp:3 * hp])
         o = jax.nn.sigmoid(pre[:, 3 * hp:])
-        gates_ref[st] = jnp.concatenate([i, f, g, o], axis=-1)
+        if gates_ref is not None:
+            gates_ref[st] = jnp.concatenate([i, f, g, o], axis=-1)
         c = f * c + i * g
         h = o * jnp.tanh(c)
         ys_ref[st] = h
@@ -148,10 +161,11 @@ def _fwd_kernel(gi_ref, u_ref, v_ref, dvec_ref, h0_ref, c0_ref,
     c_s[:] = c
 
 
-def _fwd_call(gi, u, v, dvec, h0, c0, *, lowrank, interpret, bf16):
+def _fwd_call(gi, u, v, dvec, h0, c0, *, lowrank, interpret, bf16,
+              residuals):
     t, bp, fourhp = gi.shape
     hp = fourhp // 4
-    sblk, bt = _pick_tiles(t, bp, fourhp, live=10)
+    sblk, bt = _pick_tiles(t, bp, fourhp, live=10 if residuals else 8)
     nb = bp // bt if bp % bt == 0 else -(-bp // bt)
     gi = _pad_to(gi, (t, nb * bt, fourhp))
     h0 = _pad_to(h0, (nb * bt, hp))
@@ -159,14 +173,30 @@ def _fwd_call(gi, u, v, dvec, h0, c0, *, lowrank, interpret, bf16):
     if bf16:
         u = u.astype(jnp.bfloat16)
         v = v.astype(jnp.bfloat16)
-    rp = u.shape[1] if lowrank else 128  # saved h@U rank dim (placeholder if dense)
 
     step = lambda b, tt: (tt, b, 0)
     row = lambda b, tt: (b, 0)
     const = lambda b, tt: (0, 0)
+    out_specs = [
+        pl.BlockSpec((sblk, bt, hp), step, memory_space=pltpu.VMEM),
+        pl.BlockSpec((sblk, bt, hp), step, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((t, nb * bt, hp), jnp.float32),
+        jax.ShapeDtypeStruct((t, nb * bt, hp), jnp.float32),
+    ]
+    if residuals:
+        out_specs.append(
+            pl.BlockSpec((sblk, bt, fourhp), step, memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((t, nb * bt, fourhp), jnp.float32))
+        if lowrank:
+            rp = u.shape[1]
+            out_specs.append(
+                pl.BlockSpec((sblk, bt, rp), step, memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((t, nb * bt, rp), jnp.float32))
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, hp=hp, lowrank=lowrank, bf16=bf16,
-                          sblk=sblk),
+                          sblk=sblk, residuals=residuals),
         grid=(nb, t // sblk),
         in_specs=[
             pl.BlockSpec((sblk, bt, fourhp), step, memory_space=pltpu.VMEM),
@@ -176,18 +206,8 @@ def _fwd_call(gi, u, v, dvec, h0, c0, *, lowrank, interpret, bf16):
             pl.BlockSpec((bt, hp), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, hp), row, memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((sblk, bt, hp), step, memory_space=pltpu.VMEM),
-            pl.BlockSpec((sblk, bt, hp), step, memory_space=pltpu.VMEM),
-            pl.BlockSpec((sblk, bt, fourhp), step, memory_space=pltpu.VMEM),
-            pl.BlockSpec((sblk, bt, rp), step, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((t, nb * bt, hp), jnp.float32),
-            jax.ShapeDtypeStruct((t, nb * bt, hp), jnp.float32),
-            jax.ShapeDtypeStruct((t, nb * bt, fourhp), jnp.float32),
-            jax.ShapeDtypeStruct((t, nb * bt, rp), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((bt, hp), jnp.float32),
             pltpu.VMEM((bt, hp), jnp.float32),
@@ -195,18 +215,15 @@ def _fwd_call(gi, u, v, dvec, h0, c0, *, lowrank, interpret, bf16):
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(gi, u, v, dvec, h0, c0)
-    # ys, cs, gates (post-nonlinearity), hu (rank activations; zeros if dense)
-    return out[0][:, :bp], out[1][:, :bp], out[2][:, :bp], out[3][:, :bp]
+    # ys, cs [, gates (post-nonlinearity) [, hu (rank activations)]]
+    return tuple(o[:, :bp] for o in out)
 
 
 # ---------------------------------------------------------------------------
 # backward kernel (reverse grid)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(gates_ref, hu_ref, u_ref, v_ref, dvec_ref, hprev_ref,
-                cprev_ref, cs_ref, dys_ref, dcs_ref,
-                dgi_ref, du_ref, dv_ref, ddvec_ref, dh0_ref, dc0_ref,
-                dh_s, dc_s, du_s, dv_s, ddvec_s, *, hp, lowrank, bf16, sblk):
+def _bwd_kernel(gates_ref, *refs, hp, lowrank, bf16, sblk):
     """Grid (batch_blocks, T // sblk); grid step k of batch block b processes
     the time block [T - (k+1)·sblk, T - k·sblk) in reverse inside a static
     loop.  dU/dV/ddvec accumulate in scratch across ALL grid steps.
@@ -215,6 +232,17 @@ def _bwd_kernel(gates_ref, hu_ref, u_ref, v_ref, dvec_ref, hprev_ref,
     the rank-space activations h@U, so this kernel streams them instead of
     re-deriving them (saves two dependent MXU ops per step and never touches
     gi at all — dgi is just dpre)."""
+    if lowrank:
+        (hu_ref, u_ref, v_ref, dvec_ref, hprev_ref, cprev_ref, cs_ref,
+         dys_ref, dcs_ref,
+         dgi_ref, du_ref, dv_ref, ddvec_ref, dh0_ref, dc0_ref,
+         dh_s, dc_s, du_s, dv_s, ddvec_s) = refs
+    else:
+        (u_ref, v_ref, dvec_ref, hprev_ref, cprev_ref, cs_ref,
+         dys_ref, dcs_ref,
+         dgi_ref, du_ref, dv_ref, ddvec_ref, dh0_ref, dc0_ref,
+         dh_s, dc_s, du_s, dv_s, ddvec_s) = refs
+        hu_ref = None
     b = pl.program_id(0)
     k = pl.program_id(1)
     nb = pl.num_programs(0)
@@ -316,12 +344,10 @@ def _bwd_call(gates, hu, u, v, dvec, hprev, cprev, cs, dys, dcs,
               *, lowrank, interpret, bf16):
     t, bp, fourhp = gates.shape
     hp = fourhp // 4
-    rp = hu.shape[-1]
     sblk, bt = _pick_tiles(t, bp, fourhp, live=16)
     nb = bp // bt if bp % bt == 0 else -(-bp // bt)
     bpad = nb * bt
     gates = _pad_to(gates, (t, bpad, fourhp))
-    hu = _pad_to(hu, (t, bpad, rp))
     hprev = _pad_to(hprev, (t, bpad, hp))
     cprev = _pad_to(cprev, (t, bpad, hp))
     cs = _pad_to(cs, (t, bpad, hp))
@@ -335,22 +361,32 @@ def _bwd_call(gates, hu, u, v, dvec, hprev, cprev, cs, dys, dcs,
     rev = lambda b, k: (ntb - 1 - k, b, 0)
     row = lambda b, k: (b, 0)
     const = lambda b, k: (0, 0)
+    in_specs = [
+        pl.BlockSpec((sblk, bt, fourhp), rev, memory_space=pltpu.VMEM),  # gates
+    ]
+    operands = [gates]
+    if lowrank:
+        rp = hu.shape[-1]
+        hu = _pad_to(hu, (t, bpad, rp))
+        in_specs.append(
+            pl.BlockSpec((sblk, bt, rp), rev, memory_space=pltpu.VMEM))  # h@U
+        operands.append(hu)
+    in_specs += [
+        pl.BlockSpec(u.shape, const, memory_space=pltpu.VMEM),
+        pl.BlockSpec(v.shape, const, memory_space=pltpu.VMEM),
+        pl.BlockSpec(dvec.shape, const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((sblk, bt, hp), rev, memory_space=pltpu.VMEM),      # h_{t-1}
+        pl.BlockSpec((sblk, bt, hp), rev, memory_space=pltpu.VMEM),      # c_{t-1}
+        pl.BlockSpec((sblk, bt, hp), rev, memory_space=pltpu.VMEM),      # c_t
+        pl.BlockSpec((sblk, bt, hp), rev, memory_space=pltpu.VMEM),      # dys_t
+        pl.BlockSpec((sblk, bt, hp), rev, memory_space=pltpu.VMEM),      # dcs_t
+    ]
+    operands += [u, v, dvec, hprev, cprev, cs, dys, dcs]
     out = pl.pallas_call(
         functools.partial(_bwd_kernel, hp=hp, lowrank=lowrank, bf16=bf16,
                           sblk=sblk),
         grid=(nb, ntb),
-        in_specs=[
-            pl.BlockSpec((sblk, bt, fourhp), rev, memory_space=pltpu.VMEM),  # gates
-            pl.BlockSpec((sblk, bt, rp), rev, memory_space=pltpu.VMEM),      # h@U
-            pl.BlockSpec(u.shape, const, memory_space=pltpu.VMEM),
-            pl.BlockSpec(v.shape, const, memory_space=pltpu.VMEM),
-            pl.BlockSpec(dvec.shape, const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((sblk, bt, hp), rev, memory_space=pltpu.VMEM),      # h_{t-1}
-            pl.BlockSpec((sblk, bt, hp), rev, memory_space=pltpu.VMEM),      # c_{t-1}
-            pl.BlockSpec((sblk, bt, hp), rev, memory_space=pltpu.VMEM),      # c_t
-            pl.BlockSpec((sblk, bt, hp), rev, memory_space=pltpu.VMEM),      # dys_t
-            pl.BlockSpec((sblk, bt, hp), rev, memory_space=pltpu.VMEM),      # dcs_t
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((sblk, bt, fourhp), rev, memory_space=pltpu.VMEM),  # dgi
             pl.BlockSpec(u.shape, const, memory_space=pltpu.VMEM),
@@ -376,7 +412,7 @@ def _bwd_call(gates, hu, u, v, dvec, hprev, cprev, cs, dys, dcs,
         ],
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(gates, hu, u, v, dvec, hprev, cprev, cs, dys, dcs)
+    )(*operands)
     dgi, du, dv, ddvec, dh0, dc0 = out
     return dgi[:, :bp], du, dv, ddvec, dh0[:bp], dc0[:bp]
 
@@ -387,14 +423,17 @@ def _bwd_call(gates, hu, u, v, dvec, hprev, cprev, cs, dys, dcs,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def _scan_core(gi, u, v, dvec, h0, c0, lowrank, interpret, bf16):
-    ys, cs, _, _ = _fwd_call(gi, u, v, dvec, h0, c0, lowrank=lowrank,
-                             interpret=interpret, bf16=bf16)
+    # no-grad primal: residual-free forward (no gates/hu HBM traffic)
+    ys, cs = _fwd_call(gi, u, v, dvec, h0, c0, lowrank=lowrank,
+                       interpret=interpret, bf16=bf16, residuals=False)
     return ys, cs
 
 
 def _scan_core_fwd(gi, u, v, dvec, h0, c0, lowrank, interpret, bf16):
-    ys, cs, gates, hu = _fwd_call(gi, u, v, dvec, h0, c0, lowrank=lowrank,
-                                  interpret=interpret, bf16=bf16)
+    out = _fwd_call(gi, u, v, dvec, h0, c0, lowrank=lowrank,
+                    interpret=interpret, bf16=bf16, residuals=True)
+    ys, cs, gates = out[:3]
+    hu = out[3] if lowrank else None
     # gi is NOT a residual: dgi == dpre and the backward kernel reconstructs
     # everything from the saved gates / rank activations.
     return (ys, cs), (u, v, dvec, h0, c0, ys, cs, gates, hu)

@@ -29,8 +29,27 @@ back to the sequential schedule otherwise.
 
 from __future__ import annotations
 
+import warnings
+
 import jax
 import jax.numpy as jnp
+
+from vmlmf_tpu.cells.base import lstm_update
+
+
+def warn_fallback(cells):
+    """One-time warning when backend='pipelined' can't apply to a stack."""
+    key = tuple(type(c).__name__ for c in cells)
+    if key not in _warned:
+        _warned.add(key)
+        warnings.warn(
+            "backend='pipelined' requires a uniform LSTM-family stack "
+            "(>=2 layers, equal hidden sizes, equal factor ranks across "
+            "layers); falling back to the sequential XLA schedule for "
+            f"{key}", stacklevel=3)
+
+
+_warned: set = set()
 
 
 def _units(cells, preps):
@@ -119,9 +138,7 @@ def pipelined_lstm_scan(cells, preps, xs, states0, *, dropout_rate=0.0,
                 + ins[:, :, None, :] * d_all[:, None]).reshape(2 * L - 1, B, 4 * h)
         xpre = proj[: L - 1] + bias_x[:, None, :]
         pre = jnp.concatenate([gi_t[None], xpre], axis=0) + proj[L - 1 :]
-        i, f, g, o = jnp.split(pre, 4, axis=-1)
-        c_new = jax.nn.sigmoid(f) * cs + jax.nn.sigmoid(i) * jnp.tanh(g)
-        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        h_new, c_new = lstm_update(pre, cs)
         # staircase edges: layer l is live for s in [l, T + l)
         valid = ((s >= l_idx) & (s < T + l_idx))[:, None, None]
         hs = jnp.where(valid, h_new, hs)

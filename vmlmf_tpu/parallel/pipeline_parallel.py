@@ -19,17 +19,33 @@ permutation), so the whole thing sits under `jax.grad` for training.
 Requirements are the same as the single-chip wavefront: uniform LSTM-family
 cells exposing `pipeline_units(prep)` (equal hidden sizes and factor ranks),
 and the number of layers must equal the mesh axis size.
+
+Known inefficiency (deliberate, documented): the hoisted layer-0 input
+projection gi0 [S, B, 4h] enters the shard_map replicated across the pipe
+axis although only stage 0 reads it — layer 0's input width n0 generally
+differs from h, so its x-path factors cannot join the uniform stacked
+params.  Costs (L-1) redundant copies of gi0; acceptable next to the
+recurrent state traffic, revisit if profiling says otherwise.
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+
 try:
-    from jax import shard_map  # jax >= 0.8
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map as _shard_map  # jax >= 0.8
+
+    shard_map = functools.partial(_shard_map, check_vma=False)
+except ImportError:  # pragma: no cover — jax < 0.8
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+    shard_map = functools.partial(_shard_map, check_rep=False)
 from jax.sharding import PartitionSpec as P
+
+from vmlmf_tpu.cells.base import lstm_update
 
 
 def stack_pipeline_params(cells, preps):
@@ -78,9 +94,7 @@ def _stage_scan(stacked, gi0, h0, c0, *, t_len, n_stage, axis, hidden,
         gr = (h @ uh) @ vh
         gr = (gr.reshape(batch, 4, hidden) + h[:, None, :] * dh)
         pre = pre + gr.reshape(batch, 4 * hidden)
-        i, f, g, o = jnp.split(pre, 4, axis=-1)
-        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        h_new, c_new = lstm_update(pre, c)
         valid = jnp.logical_and(s >= l, s < t_len + l)
         h = jnp.where(valid, h_new, h)
         c = jnp.where(valid, c_new, c)
@@ -143,7 +157,6 @@ def pipeline_parallel_scan(cells, preps, xs, states0, mesh, *, axis="model",
                   P()),
         out_specs=(P(axis, None, batch_axis, None),
                    P(axis, batch_axis, None), P(axis, batch_axis, None)),
-        check_vma=False,
     )(stacked, gi0, hs0, cs0, keys)
     ys_last = ys[L - 1, L - 1:]
     finals = [(h_end[l], c_end[l]) for l in range(L)]
