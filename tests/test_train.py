@@ -140,6 +140,19 @@ class TestCheckpoint:
         assert name == "vmmodel_L180_w8_u6_opp_seed3"
 
 
+class TestRoofline:
+    def test_bounds_and_fraction(self):
+        from vmlmf_tpu.utils.analytics import roofline_report
+
+        # high intensity -> compute-bound; fraction = roofline time / measured
+        r = roofline_report(1e12, 1e9, 0.1, chip="v5e", dtype="bf16")
+        assert r["bound"] == "compute"
+        assert 0 < r["fraction_of_roofline"] <= 1.0
+        np.testing.assert_allclose(r["achieved_flops_per_s"], 1e13)
+        # low intensity -> memory-bound
+        assert roofline_report(1e9, 1e12, 0.1)["bound"] == "memory"
+
+
 class TestOrbaxCheckpoint:
     def test_roundtrip_and_sharded_restore(self, tmp_path):
         import jax

@@ -76,3 +76,40 @@ def compression_report(baseline_params, compressed_params, *,
         rep["flops_compressed_M"] = compressed_flops / 1e6
         rep["flops_ratio"] = baseline_flops / max(compressed_flops, 1)
     return rep
+
+
+# -- roofline --------------------------------------------------------------
+
+# Peak numbers per chip generation (compute in FLOP/s for the given matmul
+# dtype, HBM bandwidth in bytes/s).  Sources: public TPU spec sheets.
+TPU_PEAKS = {
+    "v5e": {"bf16": 197e12, "f32": 49e12, "hbm_bw": 819e9},
+    "v4": {"bf16": 275e12, "f32": 69e12, "hbm_bw": 1228e9},
+    "v5p": {"bf16": 459e12, "f32": 115e12, "hbm_bw": 2765e9},
+}
+
+
+def roofline_report(flops, hbm_bytes, seconds, *, chip="v5e", dtype="f32") -> dict:
+    """Achieved-vs-roofline for a measured region (SURVEY.md §5: keep the
+    analytic FLOP model and report achieved fraction of the roofline).
+
+    flops: analytic FLOP count of the region (e.g. `model_flops(...)`);
+    hbm_bytes: bytes moved to/from HBM; seconds: measured wall-clock.
+    Returns achieved FLOP/s and bandwidth, arithmetic intensity, the
+    roofline-permitted time, and which resource bounds the region.
+    """
+    peaks = TPU_PEAKS[chip]
+    peak_flops, peak_bw = peaks[dtype], peaks["hbm_bw"]
+    intensity = flops / max(hbm_bytes, 1)
+    ridge = peak_flops / peak_bw
+    bound = "compute" if intensity >= ridge else "memory"
+    t_roofline = max(flops / peak_flops, hbm_bytes / peak_bw)
+    return {
+        "achieved_flops_per_s": flops / seconds,
+        "achieved_bw_bytes_per_s": hbm_bytes / seconds,
+        "arithmetic_intensity": intensity,
+        "ridge_intensity": ridge,
+        "bound": bound,
+        "roofline_seconds": t_roofline,
+        "fraction_of_roofline": t_roofline / seconds,
+    }
