@@ -161,6 +161,36 @@ class TestLSTMGroupCell:
         h1d, c1d = _dense_lstm_step(w_eff, u_eff, params["b"], x, h0, c0)
         np.testing.assert_allclose(h1, h1d, atol=2e-5, rtol=2e-5)
 
+    def test_shuffle_is_group_interleave(self):
+        """shuffle=True permutes (h, c) identically by the deterministic
+        ShuffleNet-style group interleave (reference `isShuffle`,
+        `compressed_lstm.py:404-420`, realized seed-stably here)."""
+        g, h = 2, 64
+        base = LSTMGroupCell(32, h, u_ranks=(12, 6), groups=g)
+        shuf = LSTMGroupCell(32, h, u_ranks=(12, 6), groups=g, shuffle=True)
+        params = base.init(KEY)
+        x = _rand_x(base, jax.random.PRNGKey(1))
+        h0, c0 = _rand_state(base, jax.random.PRNGKey(2))
+        (h1, c1), _ = base.apply_step(params, x, (h0, c0))
+        (h1s, c1s), out = shuf.apply_step(params, x, (h0, c0))
+        perm = np.arange(h).reshape(g, h // g).T.reshape(-1)
+        np.testing.assert_allclose(h1s, np.asarray(h1)[:, perm], atol=1e-6)
+        np.testing.assert_allclose(c1s, np.asarray(c1)[:, perm], atol=1e-6)
+        np.testing.assert_allclose(out, h1s, atol=0)  # output is the shuffled h
+
+    def test_shuffle_falls_back_from_fused(self):
+        from vmlmf_tpu.nn.recurrence import scan_layer
+
+        cell = LSTMGroupCell(9, 32, u_ranks=(2, 2), groups=2, shuffle=True)
+        params = cell.init(KEY)
+        prep = cell.prepare(params)
+        assert cell.fused_rec_inputs(prep) is None
+        xs = jax.random.normal(jax.random.PRNGKey(1), (5, 3, 9))
+        s0 = cell.state0(3)
+        ys_x, _ = scan_layer(cell, prep, xs, s0, backend="xla")
+        ys_p, _ = scan_layer(cell, prep, xs, s0, backend="pallas")
+        np.testing.assert_allclose(ys_p, ys_x, atol=1e-6)
+
 
 class TestGRU:
     @pytest.mark.parametrize("wr,ur", [(None, None), (9, 9)])

@@ -182,14 +182,38 @@ class TestFusedGRU:
             np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                        atol=3e-4, rtol=3e-4)
 
-    def test_group_gru_falls_back(self):
+    @pytest.mark.parametrize("t,b,kw", [
+        (5, 3, dict(u_ranks=(2, 2), groups=2)),
+        (12, 7, dict(w_rank=6, u_ranks=(2, 3, 4), groups=3)),
+    ], ids=["g2", "g3_lowrank_inp"])
+    def test_group_gru_fused_post_mode_parity(self, t, b, kw):
+        """Group-GRU rides the fused kernel's mode='post' (reset applied to
+        the candidate matmul output) via dense materialization."""
         from vmlmf_tpu.cells import GRUGroupCell
 
-        cell = GRUGroupCell(9, 32, u_ranks=(2, 2), groups=2)
+        cell = GRUGroupCell(9, 48, **kw)
         params = cell.init(KEY)
-        prep = cell.prepare(params)
-        xs = jax.random.normal(jax.random.PRNGKey(1), (5, 3, 9))
-        h0 = cell.state0(3)
-        ys_x, _ = scan_layer(cell, prep, xs, h0, backend="xla")
-        ys_p, _ = scan_layer(cell, prep, xs, h0, backend="pallas")
-        np.testing.assert_allclose(ys_p, ys_x, atol=1e-6)
+        xs = jax.random.normal(jax.random.PRNGKey(1), (t, b, 9))
+        h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(2), (b, 48))
+
+        def run(backend):
+            prep = cell.prepare(params)
+            return scan_layer(cell, prep, xs, h0, backend=backend)
+
+        ys_x, hf_x = run("xla")
+        ys_p, hf_p = run("pallas")
+        np.testing.assert_allclose(ys_p, ys_x, atol=2e-5, rtol=2e-5)
+        np.testing.assert_allclose(hf_p, hf_x, atol=2e-5, rtol=2e-5)
+
+        w_out = jax.random.normal(jax.random.PRNGKey(3), ys_x.shape)
+
+        def loss(params, xs, h0, backend):
+            prep = cell.prepare(params)
+            ys, hf = scan_layer(cell, prep, xs, h0, backend=backend)
+            return jnp.sum(ys * w_out) + jnp.sum(jnp.tanh(hf))
+
+        gx = jax.grad(loss, argnums=(0, 1, 2))(params, xs, h0, "xla")
+        gp = jax.grad(loss, argnums=(0, 1, 2))(params, xs, h0, "pallas")
+        for a, b_ in zip(jax.tree_util.tree_leaves(gx), jax.tree_util.tree_leaves(gp)):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                       atol=3e-4, rtol=3e-4)

@@ -146,11 +146,21 @@ class VMLMFGroupCell(Cell):
 @dataclasses.dataclass(frozen=True)
 class LSTMGroupCell(Cell):
     """Legacy group-low-rank LSTM (`compressed_lstm.py:287-422`): dense or
-    shared-low-rank input side, group-rotated recurrent side, no vm terms."""
+    shared-low-rank input side, group-rotated recurrent side, no vm terms.
+
+    ``shuffle=True`` covers the reference's ``isShuffle`` option
+    (`compressed_lstm.py:404-420`) — mixing state channels across groups
+    between steps.  The reference draws a *fresh unseeded* ``randperm`` per
+    timestep, and a different one for ``h`` than for ``c``, which makes the
+    two state tensors channel-inconsistent and the mixing untrainable noise;
+    here the intent is realized as the deterministic ShuffleNet-style group
+    interleave (reshape ``[g, h/g]`` → transpose → flatten), applied
+    identically to ``h`` and ``c`` — compile-time free and seed-stable."""
 
     w_rank: int | None = None
     u_ranks: tuple = (2, 4)
     groups: int = 2
+    shuffle: bool = False
 
     def __post_init__(self):
         assert len(self.u_ranks) == self.groups
@@ -178,17 +188,29 @@ class LSTMGroupCell(Cell):
             y = (xs @ prep["w_fac"]) @ prep["w_proj"]
         return y + prep["b"]
 
+    def _interleave(self, x):
+        g, k = self.groups, self.hidden_size // self.groups
+        x = x.reshape(*x.shape[:-1], g, k)
+        return jnp.swapaxes(x, -2, -1).reshape(*x.shape[:-2], g * k)
+
     def step(self, prep, gi_t, state):
         h_prev, c = state
         u_t = [prep[f"u_h_{i}"] for i in range(self.groups)]
         v_t = [prep[f"v_h_{i}"] for i in range(self.groups)]
         gr = _group_rec(h_prev, u_t, v_t, self.groups, 4)
         h_next, c_next = lstm_update(gi_t + gr, c)
+        if self.shuffle:
+            h_next = self._interleave(h_next)
+            c_next = self._interleave(c_next)
         return (h_next, c_next), h_next
 
     def fused_rec_inputs(self, prep):
         """Dense-materialized recurrent matrix for the fused Pallas scan
-        (see `VMLMFGroupCell.fused_rec_inputs` for the trade-off)."""
+        (see `VMLMFGroupCell.fused_rec_inputs` for the trade-off).  The
+        shuffle variant has per-step state permutations the kernel doesn't
+        model — it falls back to the XLA scan."""
+        if self.shuffle:
+            return None
         from vmlmf_tpu.ops.lowrank import dense_from_group
 
         u_t = [prep[f"u_h_{i}"] for i in range(self.groups)]

@@ -76,10 +76,10 @@ class GRUCell(Cell):
         return y + prep["b"]
 
     def fused_rec_inputs_gru(self, prep):
-        """(u_f, p_rz, p_n) for the fused Pallas GRU scan (ops/pallas_gru)."""
+        """(u_f, p_rz, p_n, mode) for the fused Pallas GRU scan (ops/pallas_gru)."""
         if self.u_rank is None:
-            return None, prep["u_rz"], prep["u_n"]
-        return prep["u_fac"], prep["u_proj_rz"], prep["u_proj_n"]
+            return None, prep["u_rz"], prep["u_n"], "pre"
+        return prep["u_fac"], prep["u_proj_rz"], prep["u_proj_n"], "pre"
 
     def step(self, prep, gi_t, state):
         h = state
@@ -156,3 +156,18 @@ class GRUGroupCell(Cell):
         n = jnp.tanh(gi_t[..., 2 * hdim :] + r * rec[..., 2 * hdim :])
         h_next = z * h + (1.0 - z) * n
         return h_next, h_next
+
+    def fused_rec_inputs_gru(self, prep):
+        """Dense-materialized recurrent matrix for the fused Pallas GRU scan
+        (mode='post': reset scales the candidate matmul output).  Same
+        trade-off as `VMLMFGroupCell.fused_rec_inputs`: the group structure
+        saves parameters, not recurrent bandwidth, at these sizes — the
+        [h, 3h] dense equivalent is built once per step-function call
+        (weight-only, hoisted out of the scan) and stays VMEM-resident."""
+        from vmlmf_tpu.ops.lowrank import dense_from_group
+
+        u_t = [prep[f"u_h_{i}"] for i in range(self.groups)]
+        v_t = [prep[f"v_h_{i}"] for i in range(self.groups)]
+        h = self.hidden_size
+        w = dense_from_group(u_t, v_t, 3, h).T  # [h, 3h], (r, z, n) gate-major
+        return None, w[:, : 2 * h], w[:, 2 * h :], "post"

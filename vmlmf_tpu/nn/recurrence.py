@@ -70,10 +70,11 @@ def scan_layer(cell, prep, xs, state0, *, reverse=False, unroll=1, backend="xla"
             and not isinstance(state0, tuple)):
         from vmlmf_tpu.ops.pallas_gru import gru_scan_fused
 
-        uf, prz, pn = cell.fused_rec_inputs_gru(prep)
+        uf, prz, pn, mode = cell.fused_rec_inputs_gru(prep)
         if reverse:
             gi = jnp.flip(gi, axis=0)
-        ys = gru_scan_fused(gi, uf, prz, pn, state0, interpret=_use_interpret())
+        ys = gru_scan_fused(gi, uf, prz, pn, state0, mode=mode,
+                            interpret=_use_interpret())
         h_last = ys[-1]
         if reverse:
             ys = jnp.flip(ys, axis=0)

@@ -44,16 +44,20 @@ from vmlmf_tpu.ops.pallas_scan import (
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(gi_ref, uf_ref, prz_ref, pn_ref, h0_ref,
-                *refs, hp, lowrank, sblk, residuals):
+                *refs, hp, lowrank, sblk, residuals, post):
     if residuals:
         if lowrank:
             ys_ref, gates_ref, hu_ref, rhu_ref, h_s = refs
+            recn_ref = None
+        elif post:
+            ys_ref, gates_ref, recn_ref, h_s = refs
+            hu_ref = rhu_ref = None
         else:
             ys_ref, gates_ref, h_s = refs
-            hu_ref = rhu_ref = None
+            hu_ref = rhu_ref = recn_ref = None
     else:
         ys_ref, h_s = refs
-        gates_ref = hu_ref = rhu_ref = None
+        gates_ref = hu_ref = rhu_ref = recn_ref = None
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -71,15 +75,23 @@ def _fwd_kernel(gi_ref, uf_ref, prz_ref, pn_ref, h0_ref,
             rz = jnp.dot(h, prz_ref[:], preferred_element_type=jnp.float32)
         r = jax.nn.sigmoid(gi_ref[st, :, :hp] + rz[:, :hp])
         z = jax.nn.sigmoid(gi_ref[st, :, hp:2 * hp] + rz[:, hp:])
-        rh = r * h
-        if lowrank:
-            rhu = jnp.dot(rh, uf_ref[:], preferred_element_type=jnp.float32)
-            if rhu_ref is not None:
-                rhu_ref[st] = rhu
-            nn = jnp.dot(rhu, pn_ref[:], preferred_element_type=jnp.float32)
+        if post:
+            # group-GRU form: reset gate scales the candidate matmul *output*
+            # (`compressed_gru.py:245`) — one h-matmul per step, no (r·h) pass
+            recn = jnp.dot(h, pn_ref[:], preferred_element_type=jnp.float32)
+            if recn_ref is not None:
+                recn_ref[st] = recn
+            n = jnp.tanh(gi_ref[st, :, 2 * hp:] + r * recn)
         else:
-            nn = jnp.dot(rh, pn_ref[:], preferred_element_type=jnp.float32)
-        n = jnp.tanh(gi_ref[st, :, 2 * hp:] + nn)
+            rh = r * h
+            if lowrank:
+                rhu = jnp.dot(rh, uf_ref[:], preferred_element_type=jnp.float32)
+                if rhu_ref is not None:
+                    rhu_ref[st] = rhu
+                nn = jnp.dot(rhu, pn_ref[:], preferred_element_type=jnp.float32)
+            else:
+                nn = jnp.dot(rh, pn_ref[:], preferred_element_type=jnp.float32)
+            n = jnp.tanh(gi_ref[st, :, 2 * hp:] + nn)
         if gates_ref is not None:
             gates_ref[st] = jnp.concatenate([r, z, n], axis=-1)
         h = z * h + (1.0 - z) * n
@@ -87,7 +99,7 @@ def _fwd_kernel(gi_ref, uf_ref, prz_ref, pn_ref, h0_ref,
     h_s[:] = h
 
 
-def _fwd_call(gi, uf, prz, pn, h0, *, lowrank, interpret, residuals):
+def _fwd_call(gi, uf, prz, pn, h0, *, lowrank, interpret, residuals, post=False):
     t, bp, threehp = gi.shape
     hp = threehp // 3
     sblk, bt = _pick_tiles(t, bp, threehp, live=10 if residuals else 8)
@@ -111,9 +123,13 @@ def _fwd_call(gi, uf, prz, pn, h0, *, lowrank, interpret, residuals):
                     pl.BlockSpec((sblk, bt, rp), step, memory_space=pltpu.VMEM))
                 out_shape.append(
                     jax.ShapeDtypeStruct((t, nb * bt, rp), jnp.float32))
+        elif post:
+            out_specs.append(  # rec_n (pre-reset candidate recurrent term)
+                pl.BlockSpec((sblk, bt, hp), step, memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((t, nb * bt, hp), jnp.float32))
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, hp=hp, lowrank=lowrank, sblk=sblk,
-                          residuals=residuals),
+                          residuals=residuals, post=post),
         grid=(nb, t // sblk),
         in_specs=[
             pl.BlockSpec((sblk, bt, threehp), step, memory_space=pltpu.VMEM),
@@ -136,16 +152,22 @@ def _fwd_call(gi, uf, prz, pn, h0, *, lowrank, interpret, residuals):
 # backward (reverse grid)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(gates_ref, *refs, hp, lowrank, sblk):
+def _bwd_kernel(gates_ref, *refs, hp, lowrank, sblk, post):
     if lowrank:
         (hu_ref, rhu_ref, uf_ref, prz_ref, pn_ref, hprev_ref, dys_ref,
          dgi_ref, duf_ref, dprz_ref, dpn_ref, dh0_ref,
          dh_s, duf_s, dprz_s, dpn_s) = refs
+        recn_ref = None
+    elif post:
+        (recn_ref, uf_ref, prz_ref, pn_ref, hprev_ref, dys_ref,
+         dgi_ref, duf_ref, dprz_ref, dpn_ref, dh0_ref,
+         dh_s, duf_s, dprz_s, dpn_s) = refs
+        hu_ref = rhu_ref = None
     else:
         (uf_ref, prz_ref, pn_ref, hprev_ref, dys_ref,
          dgi_ref, duf_ref, dprz_ref, dpn_ref, dh0_ref,
          dh_s, duf_s, dprz_s, dpn_s) = refs
-        hu_ref = rhu_ref = None
+        hu_ref = rhu_ref = recn_ref = None
     b = pl.program_id(0)
     k = pl.program_id(1)
     nb = pl.num_programs(0)
@@ -180,7 +202,15 @@ def _bwd_kernel(gates_ref, *refs, hp, lowrank, sblk):
         dh_prev = dh * z
 
         dn_pre = dn * (1.0 - n * n)                      # d gi_n
-        if lowrank:
+        if post:
+            # n_pre = gi_n + r · rec_n, rec_n = h_prev @ P_n
+            recn = recn_ref[st]
+            drecn = dn_pre * r
+            dr = dn_pre * recn
+            dpn_t = jnp.dot(h_prev.T, drecn, preferred_element_type=jnp.float32)
+            dh_prev = dh_prev + jnp.dot(drecn, pn_ref[:].T,
+                                        preferred_element_type=jnp.float32)
+        elif lowrank:
             drhu = jnp.dot(dn_pre, pn_ref[:].T, preferred_element_type=jnp.float32)
             dpn_t = jnp.dot(rhu_ref[st].T, dn_pre, preferred_element_type=jnp.float32)
             drh = jnp.dot(drhu, uf_ref[:].T, preferred_element_type=jnp.float32)
@@ -188,8 +218,9 @@ def _bwd_kernel(gates_ref, *refs, hp, lowrank, sblk):
         else:
             drh = jnp.dot(dn_pre, pn_ref[:].T, preferred_element_type=jnp.float32)
             dpn_t = jnp.dot(rh.T, dn_pre, preferred_element_type=jnp.float32)
-        dr = drh * h_prev
-        dh_prev = dh_prev + drh * r
+        if not post:
+            dr = drh * h_prev
+            dh_prev = dh_prev + drh * r
 
         dr_pre = dr * r * (1.0 - r)                      # d gi_r
         dz_pre = dz * z * (1.0 - z)                      # d gi_z
@@ -228,7 +259,8 @@ def _bwd_kernel(gates_ref, *refs, hp, lowrank, sblk):
         dpn_ref[:] = dpn_s[:]
 
 
-def _bwd_call(gates, hu, rhu, uf, prz, pn, hprev, dys, *, lowrank, interpret):
+def _bwd_call(gates, hu, rhu, uf, prz, pn, hprev, dys, *, lowrank, interpret,
+              post=False, recn=None):
     t, bp, threehp = gates.shape
     hp = threehp // 3
     sblk, bt = _pick_tiles(t, bp, threehp, live=16)
@@ -255,6 +287,12 @@ def _bwd_call(gates, hu, rhu, uf, prz, pn, hprev, dys, *, lowrank, interpret):
             pl.BlockSpec((sblk, bt, rp), rev, memory_space=pltpu.VMEM),   # (r h)@Uf
         ]
         operands += [hu, rhu]
+    elif post:
+        recn = _pad_to(recn, (t, bpad, hp))
+        in_specs += [
+            pl.BlockSpec((sblk, bt, hp), rev, memory_space=pltpu.VMEM),   # rec_n
+        ]
+        operands += [recn]
     in_specs += [
         pl.BlockSpec(uf.shape, const, memory_space=pltpu.VMEM),
         pl.BlockSpec(prz.shape, const, memory_space=pltpu.VMEM),
@@ -264,7 +302,8 @@ def _bwd_call(gates, hu, rhu, uf, prz, pn, hprev, dys, *, lowrank, interpret):
     ]
     operands += [uf, prz, pn, hprev, dys]
     out = pl.pallas_call(
-        functools.partial(_bwd_kernel, hp=hp, lowrank=lowrank, sblk=sblk),
+        functools.partial(_bwd_kernel, hp=hp, lowrank=lowrank, sblk=sblk,
+                          post=post),
         grid=(nb, ntb),
         in_specs=in_specs,
         out_specs=[
@@ -298,40 +337,50 @@ def _bwd_call(gates, hu, rhu, uf, prz, pn, hprev, dys, *, lowrank, interpret):
 # public entry
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _scan_core(gi, uf, prz, pn, h0, lowrank, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _scan_core(gi, uf, prz, pn, h0, lowrank, interpret, post):
     # no-grad primal: residual-free forward (no gates/hu/rhu HBM traffic)
     (ys,) = _fwd_call(gi, uf, prz, pn, h0, lowrank=lowrank,
-                      interpret=interpret, residuals=False)
+                      interpret=interpret, residuals=False, post=post)
     return ys
 
 
-def _scan_core_fwd(gi, uf, prz, pn, h0, lowrank, interpret):
+def _scan_core_fwd(gi, uf, prz, pn, h0, lowrank, interpret, post):
     out = _fwd_call(gi, uf, prz, pn, h0, lowrank=lowrank,
-                    interpret=interpret, residuals=True)
+                    interpret=interpret, residuals=True, post=post)
     ys, gates = out[:2]
-    hu, rhu = (out[2], out[3]) if lowrank else (None, None)
+    hu = rhu = recn = None
+    if lowrank:
+        hu, rhu = out[2], out[3]
+    elif post:
+        recn = out[2]
     # gi is not a residual: dgi is the concatenated gate pre-grads and the
     # backward reconstructs everything from the saved activations.
-    return ys, (uf, prz, pn, h0, ys, gates, hu, rhu)
+    return ys, (uf, prz, pn, h0, ys, gates, hu, rhu, recn)
 
 
-def _scan_core_bwd(lowrank, interpret, res, dys):
-    uf, prz, pn, h0, ys, gates, hu, rhu = res
+def _scan_core_bwd(lowrank, interpret, post, res, dys):
+    uf, prz, pn, h0, ys, gates, hu, rhu, recn = res
     hprev = jnp.concatenate([h0[None], ys[:-1]], axis=0)
     dgi, duf, dprz, dpn, dh0 = _bwd_call(
         gates, hu, rhu, uf, prz, pn, hprev, dys,
-        lowrank=lowrank, interpret=interpret)
+        lowrank=lowrank, interpret=interpret, post=post, recn=recn)
     return dgi, duf, dprz, dpn, dh0
 
 
 _scan_core.defvjp(_scan_core_fwd, _scan_core_bwd)
 
 
-def gru_scan_fused(gi, uf, prz, pn, h0, *, interpret=False):
+def gru_scan_fused(gi, uf, prz, pn, h0, *, mode="pre", interpret=False):
     """Fused GRU scan.  gi: [T, B, 3h] input contributions in (r, z, n) gate
     order; low-rank: uf [h, rank], prz [rank, 2h], pn [rank, h]; dense:
     uf=None, prz [h, 2h], pn [h, h].  h0: [B, h].  Returns ys [T, B, h].
+
+    mode="pre" (vanilla/shared-low-rank GRU): candidate term is
+    ``(r ⊙ h) @ U_n`` — reset applied before the matmul.
+    mode="post" (group-GRU semantics, `compressed_gru.py:245`): candidate term
+    is ``r ⊙ (h @ U_n)`` — reset scales the matmul output; dense-only (the
+    group factors are materialized to [h, 3h] outside the scan).
 
     Zero padding is exact: padded h rows/cols start at 0 and stay 0 — padded
     r,z,n columns see zero gi and zero recurrent input, so σ(0)=0.5 gates mix
@@ -340,6 +389,9 @@ def gru_scan_fused(gi, uf, prz, pn, h0, *, interpret=False):
     t, b, threeh = gi.shape
     h = threeh // 3
     lowrank = uf is not None
+    post = mode == "post"
+    if post and lowrank:
+        raise ValueError("mode='post' is dense-only (uf must be None)")
     bp = _round_up(b, 8)
     hp = _round_up(h, 128)
 
@@ -356,5 +408,5 @@ def gru_scan_fused(gi, uf, prz, pn, h0, *, interpret=False):
         przp = _pad_to(prz.reshape(h, 2, h), (hp, 2, hp)).reshape(hp, 2 * hp)
         pnp = _pad_to(pn, (hp, hp))
 
-    ys = _scan_core(gi3, ufp, przp, pnp, h0p, lowrank, interpret)
+    ys = _scan_core(gi3, ufp, przp, pnp, h0p, lowrank, interpret, post)
     return ys[:, :b, :h]
