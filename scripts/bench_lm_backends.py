@@ -1,4 +1,4 @@
-"""Compare LM training backends (xla / pallas / pipelined) on one chip.
+"""Compare LM training backends (xla / pallas / pipelined / pallas_pipelined) on one chip.
 
 Reference PTB flagship config (lm_test.py:46-79): 2x650 VMLMF w300/u300,
 batch 20, BPTT 35, dropout 0.5, manual SGD — full fused-chunk train steps.
@@ -19,7 +19,7 @@ vocab, hidden, T, B, fuse = 10000, 650, 35, 20, 64
 xs = jnp.asarray(np.random.RandomState(0).randint(0, vocab, (fuse, T, B)))
 ys = jnp.asarray(np.random.RandomState(1).randint(0, vocab, (fuse, T, B)))
 
-for backend in ["xla", "pallas", "pipelined"]:
+for backend in ["xla", "pallas", "pipelined", "pallas_pipelined"]:
     m = LMModel(vocab_size=vocab, hidden_size=hidden, num_layers=2,
                 cell_factory=lambda n, h: VMLMFCell(n, h, w_rank=300, u_rank=300),
                 dropout_rate=0.5, winit=0.05, backend=backend)

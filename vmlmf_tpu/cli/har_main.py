@@ -46,7 +46,7 @@ def get_args(argv=None):
     p.add_argument("--synthetic", action="store_true",
                    help="use shape-faithful synthetic data (no dataset needed)")
     p.add_argument("--ckpt_dir", type=str, default="./trained_models")
-    p.add_argument("--backend", type=str, default="xla", choices=["xla", "pallas", "pipelined"],
+    p.add_argument("--backend", type=str, default="xla", choices=["xla", "pallas", "pipelined", "pallas_pipelined"],
                    help="recurrence execution: XLA scan or fused Pallas kernel")
     return p.parse_args(argv)
 

@@ -102,7 +102,11 @@ class RNN:
     unroll: int = 1
     # "xla" | "pallas" (fused whole-scan kernel) | "pipelined" (wavefront
     # multi-layer schedule, `ops.pipeline` — ~L× shorter serial chain for
-    # uniform stacks; falls back per-call when the stack doesn't qualify)
+    # uniform stacks; falls back per-call when the stack doesn't qualify) |
+    # "pallas_pipelined" (the wavefront *inside* one Pallas kernel with all
+    # layers' factors VMEM-resident, `ops.pallas_pipeline` — combines the
+    # latency cut with the HBM-traffic cut; falls back to "pallas" per-layer
+    # when the stack doesn't qualify)
     backend: str = "xla"
     precision: str | None = None  # fused-kernel matmul precision: f32 | bf16
 
@@ -120,6 +124,39 @@ class RNN:
         batch = xs.shape[1]
         if states is None:
             states = self.state0(batch, xs.dtype)
+        if self.backend == "pallas_pipelined" and not reverse:
+            from vmlmf_tpu.ops.pallas_pipeline import (
+                lstm_stack_scan_fused,
+                stack_units,
+            )
+
+            preps = [c.prepare(p) for c, p in zip(self.cells, params)]
+            layers = stack_units(self.cells, preps)
+            if layers is not None:
+                gi0 = self.cells[0].inp(preps[0], xs)
+                h0s = [s[0] for s in states]
+                c0s = [s[1] for s in states]
+                prec = self.precision or os.environ.get(
+                    "VMLMF_PALLAS_PRECISION", "f32")
+                ys, hl, cl = lstm_stack_scan_fused(
+                    gi0, layers, h0s, c0s, interpret=_use_interpret(),
+                    precision=prec)
+                if not time_major:
+                    ys = jnp.swapaxes(ys, 0, 1)
+                return ys, [(hl[i], cl[i]) for i in range(len(self.cells))]
+            from vmlmf_tpu.ops.pipeline import warn_fallback
+
+            warn_fallback(self.cells)
+            # closest per-layer fallback: the single-layer fused kernel
+            finals = []
+            for cell, prep, s0 in zip(self.cells, preps, states):
+                xs, sf = scan_layer(cell, prep, xs, s0, unroll=self.unroll,
+                                    backend="pallas",
+                                    precision=self.precision)
+                finals.append(sf)
+            if not time_major:
+                xs = jnp.swapaxes(xs, 0, 1)
+            return xs, finals
         if self.backend == "pipelined" and not reverse:
             from vmlmf_tpu.ops.pipeline import (
                 pipelined_available,
