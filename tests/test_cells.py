@@ -219,9 +219,16 @@ class TestGRU:
         h1d = z * h0 + (1 - z) * n
         np.testing.assert_allclose(h1, h1d, atol=2e-5, rtol=2e-5)
 
-    def test_group_gru_matches_dense(self):
-        g, h = 2, 64
-        cell = GRUGroupCell(32, h, w_rank=9, u_ranks=(12, 6), groups=g)
+    @pytest.mark.parametrize(
+        "g,u_ranks",
+        [(2, (12, 6)), (3, (6, 4, 2)), (4, (4, 3, 2, 1)), (5, (3, 3, 2, 2, 1)),
+         (6, (4, 3, 3, 2, 2, 1))],
+    )
+    def test_group_gru_matches_dense(self, g, u_ranks):
+        # groups 2..6 cover the legacy myGRUCell_group{2..6} zoo
+        # (`compressed_gru.py:119-1079`) with the intended (bug-free) math.
+        h = 60 if g in (3, 5, 6) else 64
+        cell = GRUGroupCell(32, h, w_rank=9, u_ranks=u_ranks, groups=g)
         params = cell.init(KEY)
         x = _rand_x(cell, jax.random.PRNGKey(1))
         h0 = jax.random.normal(jax.random.PRNGKey(2), (B, h))
@@ -229,7 +236,8 @@ class TestGRU:
 
         w = params["w_fac"] @ params["w_proj"]
         u_eff = dense_from_group(
-            [params["u_h_0"], params["u_h_1"]], [params["v_h_0"], params["v_h_1"]], 3, h
+            [params[f"u_h_{i}"] for i in range(g)],
+            [params[f"v_h_{i}"] for i in range(g)], 3, h
         )  # [3h, h]
         gi = x @ w + params["b"]
         rec = h0 @ u_eff.T
