@@ -1,0 +1,57 @@
+"""Serving throughput: autoregressive decode tokens/sec on one chip.
+
+PTB-config LM (vocab 10k, 2x650, VMLMF w300/u300) at several batch sizes.
+Timing uses the completion-proof protocol (BASELINE.md): chain iterations
+through their outputs and close with one device-to-host value read.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from vmlmf_tpu.cells import VMLMFCell
+from vmlmf_tpu.nn.models import LMModel
+from vmlmf_tpu.serve import Decoder
+
+VOCAB, STEPS, PROMPT_T = 10000, 64, 35
+
+
+def bench(batch, iters=20):
+    model = LMModel(
+        vocab_size=VOCAB, hidden_size=650, num_layers=2,
+        cell_factory=lambda n, h: VMLMFCell(n, h, w_rank=300, u_rank=300),
+        dropout_rate=0.0, winit=0.05)
+    params = model.init(jax.random.PRNGKey(0))
+    dec = Decoder(model)
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (PROMPT_T, batch), 0, VOCAB)
+    states = model.state0(batch)
+    logits, states = dec.prefill(params, prompt, states)
+
+    def run(logits, states, iters):
+        toks = None
+        for _ in range(iters):
+            # chain: next block conditions on the last token's logits
+            toks, states = dec.decode(params, logits, states, steps=STEPS)
+            logits, states = dec._token_step(
+                params, dec._preps(params), toks[-1], states)
+        return toks, logits
+
+    run(logits, states, 2)  # compile + warm
+    t0 = time.perf_counter()
+    toks, out = run(logits, states, iters)
+    closing = int(jnp.sum(out[0]) != 0) + int(toks[-1, 0])  # value read
+    dt = time.perf_counter() - t0
+    tps = iters * STEPS * batch / dt
+    print(f"B={batch:4d}  greedy decode: {tps:,.0f} tokens/sec/chip "
+          f"({dt/iters/STEPS*1e6:.1f} us/step)  [closing={closing}]")
+    return tps
+
+
+if __name__ == "__main__":
+    for b in (1, 20, 128, 512):
+        bench(b)

@@ -38,3 +38,4 @@ from vmlmf_tpu.cells import (  # noqa: F401
 )
 from vmlmf_tpu.nn.recurrence import RNN  # noqa: F401
 from vmlmf_tpu.nn.models import HARNet, BDNet, DeepConvNet, LMModel  # noqa: F401
+from vmlmf_tpu.serve import Decoder  # noqa: F401
