@@ -32,13 +32,21 @@ def initialize_multihost(coordinator_address=None, num_processes=None,
     """Multi-host (multi-slice / DCN) process initialization.
 
     On Cloud TPU pods the arguments are auto-detected from the environment;
-    pass them explicitly elsewhere.  Safe to call when already initialized or
-    single-process (no-op).  After this, `jax.devices()` is global and
-    `make_mesh` spans all hosts — lay `data` across hosts (gradient psum rides
-    DCN once per step) and keep `model` intra-slice (ICI).
+    pass them explicitly elsewhere.  Safe to call when already initialized
+    (no-op).  After this, `jax.devices()` is global and `make_mesh` spans all
+    hosts — lay `data` across hosts (gradient psum rides DCN once per step)
+    and keep `model` intra-slice (ICI).
+
+    Failure semantics: when any argument is given explicitly, initialization
+    errors RAISE — a misconfigured multi-host launch must not degrade silently
+    into N independent single-process runs.  Only the fully-auto-detected call
+    (all arguments None) treats "no cluster environment detected" as a benign
+    single-process fallback.
     """
     if jax.process_count() > 1:
         return  # already initialized
+    explicit = not (coordinator_address is None and num_processes is None
+                    and process_id is None)
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -46,7 +54,9 @@ def initialize_multihost(coordinator_address=None, num_processes=None,
             process_id=process_id,
         )
     except (ValueError, RuntimeError):
-        pass  # single-process environment
+        if explicit:
+            raise
+        # auto-detection found no cluster environment: single-process run
 
 
 def local_batch_slice(global_batch):
@@ -55,3 +65,42 @@ def local_batch_slice(global_batch):
     per = global_batch // jax.process_count()
     start = jax.process_index() * per
     return slice(start, start + per)
+
+
+def _data_axis_index(spec):
+    """Index of the dimension partitioned over the 'data' mesh axis."""
+    for i, s in enumerate(spec):
+        names = s if isinstance(s, tuple) else (s,)
+        if "data" in names:
+            return i
+    raise ValueError(f"no 'data' axis in {spec}")
+
+
+def make_global_batch(mesh_or_sharding, x, spec=None, *, local=False):
+    """Commit a host-produced batch to the mesh (the per-host input pipeline,
+    SURVEY.md §2.3 item 2).
+
+    Single-process: a plain `device_put` onto the sharding.  Multi-process:
+    each process contributes only its own rows and the result is ONE global
+    `jax.Array` assembled via `jax.make_array_from_process_local_data` — no
+    host ever materializes other hosts' shards on device.
+
+    x: host (numpy) batch.  With `local=False` (the default for this
+    framework's host-replicated data loaders), x is the full GLOBAL batch and
+    this process's rows are cut out with `local_batch_slice` along the
+    'data'-sharded dimension; pass `local=True` when x already holds only this
+    process's rows (a true per-host loader).
+    """
+    from jax.sharding import NamedSharding
+
+    sharding = (mesh_or_sharding if isinstance(mesh_or_sharding, NamedSharding)
+                else NamedSharding(mesh_or_sharding, spec))
+    x = np.asarray(x)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    if not local:
+        axis = _data_axis_index(sharding.spec)
+        idx = [slice(None)] * x.ndim
+        idx[axis] = local_batch_slice(x.shape[axis])
+        x = x[tuple(idx)]
+    return jax.make_array_from_process_local_data(sharding, x)

@@ -56,12 +56,13 @@ class HARTrainer:
             batch_sh = NamedSharding(self.mesh, P("data"))
             stack_sh = NamedSharding(self.mesh, P(None, "data"))
             self._replicated = rep
+            self._batch_sh, self._stack_sh = batch_sh, stack_sh
             step_kw = dict(in_shardings=(rep, rep, batch_sh, batch_sh),
                            out_shardings=(rep, rep, rep))
             fused_kw = dict(in_shardings=(rep, rep, stack_sh, stack_sh),
                             out_shardings=(rep, rep, rep))
         else:
-            self._replicated = None
+            self._replicated = self._batch_sh = self._stack_sh = None
             step_kw = fused_kw = {}
 
         @partial(jax.jit, donate_argnums=(0, 1), **step_kw)
@@ -104,6 +105,17 @@ class HARTrainer:
             opt_state = jax.device_put(opt_state, self._replicated)
         return params, opt_state
 
+    def commit_batch(self, x, y, *, stacked=False):
+        """Commit batches to the mesh's data axis; in multi-process runs each
+        host contributes its own rows (`parallel.mesh.make_global_batch`).
+        No-op without a mesh."""
+        if self._batch_sh is None:
+            return x, y
+        from vmlmf_tpu.parallel.mesh import make_global_batch
+
+        sh = self._stack_sh if stacked else self._batch_sh
+        return make_global_batch(sh, x), make_global_batch(sh, y)
+
     def fit(self, params, opt_state, x_train, y_train, *, epochs, log_fn=print):
         """-> (params, opt_state, history). One executable for all epochs."""
         import numpy as np
@@ -124,11 +136,14 @@ class HARTrainer:
                     stack_x.append(xb)
                     stack_y.append(yb)
                     if len(stack_x) == fuse:
+                        sx, sy = self.commit_batch(
+                            np.stack(stack_x), np.stack(stack_y), stacked=True)
                         params, opt_state, ls = self._fused_steps(
-                            params, opt_state, np.stack(stack_x), np.stack(stack_y))
+                            params, opt_state, sx, sy)
                         losses.append(ls)
                         stack_x, stack_y = [], []
                 for xb, yb in zip(stack_x, stack_y):  # remainder, per-batch
+                    xb, yb = self.commit_batch(xb, yb)
                     params, opt_state, loss = self._train_step(params, opt_state, xb, yb)
                     losses.append(loss[None])
                 mean_loss = float(jnp.mean(jnp.concatenate(losses)))
@@ -137,6 +152,7 @@ class HARTrainer:
                     x_train, y_train, self.batch_size,
                     shuffle=True, drop_last=True, seed=self.seed, epoch=epoch,
                 ):
+                    xb, yb = self.commit_batch(xb, yb)
                     params, opt_state, loss = self._train_step(params, opt_state, xb, yb)
                     losses.append(loss)
                 mean_loss = float(jnp.mean(jnp.stack(losses)))

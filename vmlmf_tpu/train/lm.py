@@ -92,7 +92,9 @@ class LMTrainer:
             self._shardings = dict(
                 params=lambda p: lm_param_sharding(p, self.mesh),
                 states=lambda s: lm_state_sharding(s, self.mesh),
+                # token chunks [T, B]: batch on the data axis
                 ids=NamedSharding(self.mesh, P(None, "data")),
+                # fused stacks [k, T, B]
                 stack_ids=NamedSharding(self.mesh, P(None, None, "data")),
                 rep=rep,
             )
@@ -124,11 +126,39 @@ class LMTrainer:
 
         self._eval_step = eval_step
 
+        @jax.jit
+        def eval_chunks(params, states, xs, ys):
+            """No-grad eval over a [k, T, B] chunk stack in ONE dispatch
+            (device-resident scan with carried state) — the serving-style
+            batch-eval path; per-chunk `_eval_step` pays host dispatch each."""
+
+            def body(s, inp):
+                x, y = inp
+                loss, s = eval_step(params, s, x, y)
+                return s, loss
+
+            states, losses = jax.lax.scan(body, states, (xs, ys))
+            return losses, states
+
+        self._eval_chunks = eval_chunks
+
     def init(self, dtype=jnp.float32):
         params = self.model.init(jax.random.PRNGKey(self.seed), dtype)
         if self._shardings is not None:
             params = jax.device_put(params, self._shardings["params"](params))
         return params
+
+    def commit_batch(self, x, y, *, stacked=False):
+        """Commit token arrays to the mesh's data axis (per-host pipeline in
+        multi-process runs — `parallel.mesh.make_global_batch`).  No-op without
+        a mesh.  The jitted steps then consume pre-committed inputs, so XLA
+        sees the intended batch sharding instead of replicating host numpy."""
+        if self._shardings is None:
+            return x, y
+        from vmlmf_tpu.parallel.mesh import make_global_batch
+
+        sh = self._shardings["stack_ids" if stacked else "ids"]
+        return make_global_batch(sh, x), make_global_batch(sh, y)
 
     def state0(self, batch=None):
         states = self.model.state0(batch or self.batch_size)
@@ -157,9 +187,11 @@ class LMTrainer:
                 n_full = (len(trn) // fuse) * fuse
                 for s0 in range(0, n_full, fuse):
                     rng, sub = jax.random.split(rng)
+                    xb, yb = self.commit_batch(
+                        xs_all[s0 : s0 + fuse], ys_all[s0 : s0 + fuse],
+                        stacked=True)
                     params, states, losses, gnorms = self._fused_chunks(
-                        params, states, xs_all[s0 : s0 + fuse],
-                        ys_all[s0 : s0 + fuse], jnp.float32(lr), sub)
+                        params, states, xb, yb, jnp.float32(lr), sub)
                     total_words += xs_all[s0 : s0 + fuse].size
                     if log_every:
                         toc = time.perf_counter()
@@ -169,15 +201,17 @@ class LMTrainer:
                             f"wps = {round(total_words / (toc - tic))}, lr = {lr:.3f}")
                 for i in range(n_full, len(trn)):
                     rng, sub = jax.random.split(rng)
+                    xb, yb = self.commit_batch(xs_all[i], ys_all[i])
                     params, states, loss, gnorm = self._train_step(
-                        params, states, xs_all[i], ys_all[i], jnp.float32(lr), sub)
+                        params, states, xb, yb, jnp.float32(lr), sub)
                     total_words += xs_all[i].size
             else:
                 for i, (x, y) in enumerate(trn):
                     total_words += x.size
                     rng, sub = jax.random.split(rng)
+                    xb, yb = self.commit_batch(x, y)
                     params, states, loss, gnorm = self._train_step(
-                        params, states, x, y, jnp.float32(lr), sub
+                        params, states, xb, yb, jnp.float32(lr), sub
                     )
                     if log_every and i % log_every == 0:
                         toc = time.perf_counter()
@@ -202,7 +236,8 @@ class LMTrainer:
         states = self.state0()
         losses = []
         for x, y in chunks:
-            loss, states = self._eval_step(params, states, x, y)
+            xb, yb = self.commit_batch(x, y)
+            loss, states = self._eval_step(params, states, xb, yb)
             losses.append(float(loss) / self.batch_size)
         return float(np.exp(np.mean(losses)))
 
