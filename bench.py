@@ -1,4 +1,4 @@
-"""Benchmark: VMLMF HAR training throughput on one TPU chip.
+"""Benchmark: VMLMF training/inference throughput + roofline on one TPU chip.
 
 Headline config = the reference demo protocol (`script/demo.sh`, `main.py`):
 OPP shapes [batch 81, T 24, 77 sensors], one VMLMF layer of 180 hidden,
@@ -7,8 +7,7 @@ w_rank 8 / u_rank 6, Adam, full train step (forward + BPTT + update).
 ``value`` is the framework's production path: hoisted input projection +
 fused whole-scan Pallas recurrence (`--backend pallas`; factors + carry
 VMEM-resident across the scan) + epoch-fused stepping (batches scanned
-on-device in one dispatch — `HARTrainer.fuse_batches`).  Measured +7% over
-the XLA-scan backend at this config (see BASELINE.md).
+on-device in one dispatch — `HARTrainer.fuse_batches`).
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
 baseline is a *reference-faithful execution strategy* measured on the same
@@ -18,7 +17,16 @@ input projections recomputed inside every timestep (the op structure of
 per-batch loop, `train.py:58`).  Values > 1 mean the TPU-native design beats
 a direct port of the reference's design.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``extra`` carries the machine-checkable secondary metrics so round-over-round
+regressions are visible in BENCH_r*.json:
+  * har_mfu / har_fraction_of_roofline / har_bound — achieved-vs-roofline for
+    the HAR train step (analytic FLOPs from the reference's own FLOP model,
+    `compression_cal.py:72-135`; HBM bytes from the documented estimate below),
+  * lm_train_wps / lm_infer_wps — the PTB flagship (2x650 VMLMF w300/u300,
+    B20/T35) fused-chunk training and no-grad inference words/sec,
+  * lm_train_mfu — achieved fraction of f32 MXU peak for the LM train step.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 import json
@@ -26,6 +34,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 
@@ -64,13 +73,52 @@ def build_naive_step(model, opt):
     return step
 
 
-def main():
+def detect_chip():
+    """Best-effort chip generation for the roofline peaks table."""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return "v5e"
+    for key in ("v5p", "v5e", "v4"):
+        if key in kind or key.replace("v5", "v5 ") in kind:
+            return key
+    if "v5 lite" in kind or "v5lite" in kind:
+        return "v5e"
+    return "v5e"
+
+
+def har_train_hbm_bytes(batch, t, feats, hidden, u_rank, n_params):
+    """HBM traffic estimate for one fused-Pallas HAR train step (per batch),
+    fp32.  Terms (see ops/pallas_scan.py residual layout):
+      xs read (fwd + bwd input-proj grad)           2 * B*T*F
+      gi [T,B,4h] write (inp) + read (fwd kernel) + read (bwd kernel)
+      gates residual [T,B,4h] write fwd + read bwd
+      h@U residual  [T,B,r_u] write fwd + read bwd
+      ys [T,B,h] write fwd + read (head + bwd)      3x
+      params/grads/opt-state (Adam m,v)             ~10 accesses of P
+    """
+    f32 = 4
+    act = batch * t
+    return f32 * (
+        2 * act * feats
+        + 3 * act * 4 * hidden
+        + 2 * act * 4 * hidden
+        + 2 * act * u_rank
+        + 3 * act * hidden
+        + 10 * n_params
+    )
+
+
+def bench_har():
     from vmlmf_tpu.cells import VMLMFCell
     from vmlmf_tpu.nn.models import HARNet
     from vmlmf_tpu.train.har import HARTrainer
-    from vmlmf_tpu.utils.cache import enable_persistent_cache
+    from vmlmf_tpu.utils.analytics import (
+        count_params,
+        roofline_report,
+        vmlmf_hw_flops,
+    )
 
-    enable_persistent_cache()
     batch, t, feats, fuse = 81, 24, 77, 64
     model = HARNet(input_size=feats, layer_sizes=(180,),
                    cell_factory=lambda n, h: VMLMFCell(n, h, w_rank=8, u_rank=6),
@@ -99,6 +147,21 @@ def main():
     seq_per_sec = batch / sec_per_batch
     assert loss_end != loss_start, "training chain did not execute"
 
+    # roofline accounting: HARDWARE forward FLOPs x3 for fwd+bwd, documented
+    # HBM-byte estimate, measured seconds.  NOTE: the reference's analytic
+    # FLOP model (`model_flops`, compression_cal.py parity) counts each gate's
+    # low-rank chain separately, ~4x the executed FLOPs of the shared-factor
+    # implementation — it is the compression METRIC; MFU must use the FLOPs
+    # the chip actually runs.
+    fwd_flops = vmlmf_hw_flops(feats, 180, 8, 6) * t * batch
+    train_flops = 3 * fwd_flops
+    n_params = count_params(p)
+    hbm = har_train_hbm_bytes(batch, t, feats, 180, 6, n_params)
+    chip = detect_chip()
+    roof = roofline_report(train_flops, hbm, sec_per_batch, chip=chip, dtype="f32")
+    from vmlmf_tpu.utils.analytics import TPU_PEAKS
+    mfu = (train_flops / sec_per_batch) / TPU_PEAKS[chip]["f32"]
+
     # baseline path: unhoisted math, per-batch host dispatch
     # (fresh params — the production path donated its buffers)
     opt = optax.adam(2e-3)
@@ -113,11 +176,90 @@ def main():
     _ = float(loss)  # single D2H read closes the chain
     sec_naive = (time.perf_counter() - t0) / 50
 
+    return {
+        "seq_per_sec": seq_per_sec,
+        "vs_baseline": sec_naive / sec_per_batch,
+        "mfu": mfu,
+        "fraction_of_roofline": roof["fraction_of_roofline"],
+        "bound": roof["bound"],
+        "chip": chip,
+    }
+
+
+def bench_lm(chip):
+    """PTB flagship: 2x650 VMLMF w300/u300, B20/T35, fused-chunk manual SGD
+    (training) and no-grad eval (inference) on the winning `pallas` backend
+    (measured vs xla/pipelined/pallas_pipelined — BASELINE.md)."""
+    from vmlmf_tpu.cells import VMLMFCell
+    from vmlmf_tpu.nn.models import LMModel
+    from vmlmf_tpu.train.lm import LMTrainer
+    from vmlmf_tpu.utils.analytics import TPU_PEAKS, vmlmf_hw_flops
+
+    vocab, hidden, t, b, fuse = 10000, 650, 35, 20, 64
+    model = LMModel(vocab_size=vocab, hidden_size=hidden, num_layers=2,
+                    cell_factory=lambda n, h: VMLMFCell(n, h, w_rank=300, u_rank=300),
+                    dropout_rate=0.5, winit=0.05, backend="pallas")
+    trainer = LMTrainer(model, batch_size=b, seq_length=t, fuse_chunks=fuse)
+    params = trainer.init()
+    states = trainer.state0()
+    xs = jnp.asarray(np.random.RandomState(0).randint(0, vocab, (fuse, t, b)))
+    ys = jnp.asarray(np.random.RandomState(1).randint(0, vocab, (fuse, t, b)))
+
+    p, s, losses, _ = trainer._fused_chunks(params, states, xs, ys,
+                                            jnp.float32(1.0), jax.random.PRNGKey(0))
+    l0 = float(losses[-1])
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        p, s, losses, _ = trainer._fused_chunks(p, s, xs, ys, jnp.float32(1.0),
+                                                jax.random.PRNGKey(i))
+    l1 = float(losses[-1])
+    dt = time.perf_counter() - t0
+    assert l1 != l0, "LM training chain did not execute"
+    train_wps = iters * fuse * t * b / dt
+
+    # hardware train FLOPs/word: 2 recurrent layers + embed (gather) + head
+    cell_fwd = vmlmf_hw_flops(hidden, hidden, 300, 300)
+    head_fwd = 2 * hidden * vocab
+    train_flops_per_word = 3 * (2 * cell_fwd + head_fwd)
+    lm_mfu = train_wps * train_flops_per_word / TPU_PEAKS[chip]["f32"]
+
+    # inference: fused no-grad eval — one dispatch per 64-chunk stack,
+    # state carried on device (the serving-style batch-eval path)
+    losses, s2 = trainer._eval_chunks(p, s, xs, ys)  # compile
+    _ = float(losses[-1])
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        losses, s2 = trainer._eval_chunks(p, s2, xs, ys)
+    _ = float(losses[-1])
+    infer_wps = iters * fuse * t * b / (time.perf_counter() - t0)
+
+    return {"lm_train_wps": train_wps, "lm_infer_wps": infer_wps,
+            "lm_train_mfu": lm_mfu, "lm_loss_moved": [l0, l1]}
+
+
+def main():
+    from vmlmf_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    har = bench_har()
+    lm = bench_lm(har["chip"])
+
     print(json.dumps({
         "metric": "vmlmf_har_train_throughput",
-        "value": round(seq_per_sec, 1),
+        "value": round(har["seq_per_sec"], 1),
         "unit": "sequences/sec/chip",
-        "vs_baseline": round(sec_naive / sec_per_batch, 3),
+        "vs_baseline": round(har["vs_baseline"], 3),
+        "extra": {
+            "chip": har["chip"],
+            "har_mfu": round(har["mfu"], 5),
+            "har_fraction_of_roofline": round(har["fraction_of_roofline"], 4),
+            "har_bound": har["bound"],
+            "lm_train_wps": round(lm["lm_train_wps"], 1),
+            "lm_infer_wps": round(lm["lm_infer_wps"], 1),
+            "lm_train_mfu": round(lm["lm_train_mfu"], 5),
+        },
     }))
 
 

@@ -6,9 +6,11 @@
 set -e
 cd "$(dirname "$0")/.."
 EPOCHS="${EPOCHS:-1}"
+# pallas = measured-fastest backend at this config (BASELINE.md); numerics match xla
+BACKEND="${BACKEND:-pallas}"
 DATA_ARGS="--synthetic"
 if [ -n "$1" ]; then DATA_ARGS="--dataset_folder $1"; fi
 
-python -m vmlmf_tpu.cli.har_main --total --max_epochs $EPOCHS --model mylstm        --layer_sizes 180 --seed 3 $DATA_ARGS
-python -m vmlmf_tpu.cli.har_main --total --max_epochs $EPOCHS --model vmmodel       --layer_sizes 180 --wRank 8 --uRanks 6   --seed 3 $DATA_ARGS
-python -m vmlmf_tpu.cli.har_main --total --max_epochs $EPOCHS --model vmmodel_group2 --layer_sizes 180 --wRank 8 --uRanks 2 4 --seed 3 $DATA_ARGS
+python -m vmlmf_tpu.cli.har_main --total --max_epochs $EPOCHS --model mylstm        --layer_sizes 180 --seed 3 --backend $BACKEND $DATA_ARGS
+python -m vmlmf_tpu.cli.har_main --total --max_epochs $EPOCHS --model vmmodel       --layer_sizes 180 --wRank 8 --uRanks 6   --seed 3 --backend $BACKEND $DATA_ARGS
+python -m vmlmf_tpu.cli.har_main --total --max_epochs $EPOCHS --model vmmodel_group2 --layer_sizes 180 --wRank 8 --uRanks 2 4 --seed 3 --backend $BACKEND $DATA_ARGS

@@ -9,7 +9,9 @@ cd "$(dirname "$0")/.."
 DATA_ARGS="--synthetic"
 if [ -n "$1" ]; then DATA_ARGS="--data_dir $1"; fi
 EPOCHS="${EPOCHS:-39}"
+# pallas = measured-fastest backend at this config (BASELINE.md); numerics match xla
+BACKEND="${BACKEND:-pallas}"
 
-python -m vmlmf_tpu.cli.lm_main --lstm_type custom --total_epochs $EPOCHS $DATA_ARGS
-python -m vmlmf_tpu.cli.lm_main --lstm_type vmlmf  --wRank 300 --uRanks 300 --total_epochs $EPOCHS $DATA_ARGS
-python -m vmlmf_tpu.cli.lm_main --lstm_type vmgroup --wRank 300 --uRanks 300 150 --total_epochs $EPOCHS $DATA_ARGS
+python -m vmlmf_tpu.cli.lm_main --lstm_type custom --total_epochs $EPOCHS --backend $BACKEND $DATA_ARGS
+python -m vmlmf_tpu.cli.lm_main --lstm_type vmlmf  --wRank 300 --uRanks 300 --total_epochs $EPOCHS --backend $BACKEND $DATA_ARGS
+python -m vmlmf_tpu.cli.lm_main --lstm_type vmgroup --wRank 300 --uRanks 300 150 --total_epochs $EPOCHS --backend $BACKEND $DATA_ARGS

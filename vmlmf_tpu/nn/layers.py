@@ -67,8 +67,9 @@ class ConvFeatures:
     kernel_t: int = 5
     layers: int = 4
     # The reference stacks its convs with no nonlinearity between them
-    # (`compressed_deepConv.py:48-51`); ReLU is kept optional for parity runs.
-    activation: bool = True
+    # (`compressed_deepConv.py:48-51`) — that is the default here so parity
+    # grids reproduce the reference model; ReLU is the opt-in improvement.
+    activation: bool = False
 
     def init(self, key, dtype=jnp.float32):
         import math

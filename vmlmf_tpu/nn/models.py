@@ -125,9 +125,11 @@ class DeepConvNet:
     channels: int = 64
     unroll: int = 8
     backend: str = "xla"
+    # reference parity: no nonlinearity between convs (`compressed_deepConv.py:48-51`)
+    conv_activation: bool = False
 
     def __post_init__(self, cell_factory):
-        conv = ConvFeatures(channels=self.channels)
+        conv = ConvFeatures(channels=self.channels, activation=self.conv_activation)
         object.__setattr__(self, "conv", conv)
         feat = self.channels * self.input_size
         cells = _make_cells(cell_factory, feat, self.layer_sizes)
@@ -224,12 +226,17 @@ class LMModel:
             from vmlmf_tpu.nn.recurrence import _use_interpret
             from vmlmf_tpu.ops.pallas_pipeline import (
                 lstm_stack_scan_fused,
+                stack_fits,
                 stack_units,
             )
             from vmlmf_tpu.ops.pipeline import warn_fallback
 
             preps = [c.prepare(p) for c, p in zip(self.rnn.cells, params["rnn"])]
             layers = stack_units(self.rnn.cells, preps)
+            prec0 = os.environ.get("VMLMF_PALLAS_PRECISION", "f32")
+            if layers is not None and not stack_fits(
+                    layers, x.shape[0], x.shape[1], prec0):
+                layers = None  # VMEM-bound stack: per-layer fused fallback
             if layers is not None:
                 gi0 = self.rnn.cells[0].inp(preps[0], x)
                 # inter-layer dropout as pre-generated scaled masks streamed

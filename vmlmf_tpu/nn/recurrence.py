@@ -127,11 +127,16 @@ class RNN:
         if self.backend == "pallas_pipelined" and not reverse:
             from vmlmf_tpu.ops.pallas_pipeline import (
                 lstm_stack_scan_fused,
+                stack_fits,
                 stack_units,
             )
 
             preps = [c.prepare(p) for c, p in zip(self.cells, params)]
             layers = stack_units(self.cells, preps)
+            prec0 = self.precision or os.environ.get("VMLMF_PALLAS_PRECISION", "f32")
+            if layers is not None and not stack_fits(
+                    layers, xs.shape[0], xs.shape[1], prec0):
+                layers = None  # VMEM-bound stack: per-layer fused fallback
             if layers is not None:
                 gi0 = self.cells[0].inp(preps[0], xs)
                 h0s = [s[0] for s in states]

@@ -69,6 +69,65 @@ def _cast(x, bf16):
     return x.astype(jnp.bfloat16) if bf16 else x
 
 
+_VMEM_MSG = (
+    "pallas_pipelined stack of {L} layers does not fit VMEM: the design "
+    "keeps every layer's factors (and, in the backward, their gradient "
+    "accumulators) VMEM-resident, which bounds the stack depth at a given "
+    "(hidden, rank). Use stack_fits() to pre-check, or the per-layer "
+    "'pallas' backend."
+)
+
+
+def _weight_bytes(layers, bf16):
+    """VMEM bytes of the whole-array (non-streamed) weight operands."""
+    wsize = 2 if bf16 else 4
+    total = 0
+    for lay in layers:
+        for key in ("u", "v", "ux", "vx"):
+            if key in lay:
+                total += lay[key].size * wsize
+        for key in ("dvec", "dxvec", "bias"):
+            if key in lay:
+                total += lay[key].size * 4
+    return total
+
+
+def stack_fits(layers, t, b, precision="f32"):
+    """True when the fused stack kernel (fwd AND bwd) plausibly fits VMEM
+    for this (layers, T, B); callers fall back to the per-layer 'pallas'
+    backend instead of failing TPU compilation.
+
+    Deliberately conservative criterion — VMEM-resident weights twice (bwd:
+    operand + f32 grad accumulator) plus the minimal backward stream tile
+    must fit the stream budget — calibrated against measurement on v5e
+    (tunneled compiler reports no allocation detail): the 2x650 w300/u300
+    stack compiles and runs, the 4x650 stack does not compile even at the
+    smallest tile.  The stack kernel's whole design (all layers' factors
+    VMEM-resident) bounds its profitable depth; past that bound the
+    per-layer fused kernel is the right tool anyway."""
+    del t  # the minimal stream tile is time-block 1
+    if layers is None:
+        return False
+    del precision  # grads are always f32; use the conservative f32 estimate
+    h = layers[0]["u"].shape[0]
+    hp = _round_up(h, 128)
+    del b
+
+    def wbytes(wsize):
+        total = 0
+        for lay in layers:
+            for key in ("u", "ux"):
+                if key in lay:  # [h, r] -> (hp, rp)
+                    total += hp * _round_up(lay[key].shape[1], 128) * wsize
+            for key in ("v", "vx"):
+                if key in lay:  # [r, 4h] -> (rp, 4hp)
+                    total += _round_up(lay[key].shape[0], 128) * 4 * hp * wsize
+        return total
+
+    min_stream = 18 * len(layers) * 8 * 4 * hp * 4
+    return 2 * wbytes(4) + min_stream <= 80 * 1024 * 1024
+
+
 # ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
@@ -181,7 +240,11 @@ def _mlfwd_call(gi0, layers, h0s, c0s, masks, *, interpret, bf16, residuals):
     hp = fourhp // 4
     has_mask = masks is not None
     live = (12 if residuals else 9) * L
-    sblk, bt = _pick_tiles(t, bp, fourhp, live=live)
+    tiles = _pick_tiles(t, bp, fourhp, live=live,
+                        fixed=_weight_bytes(layers, bf16))
+    if tiles is None:
+        raise ValueError(_VMEM_MSG.format(L=L))
+    sblk, bt = tiles
     nb = -(-bp // bt)
     nt = t // sblk
     gi0 = _pad_to(gi0, (t, nb * bt, fourhp))
@@ -450,7 +513,13 @@ def _mlbwd_call(dys, dhlasts, dclasts, layers, res, masks,
     t, bp, hp = dys.shape
     fourhp = 4 * hp
     has_mask = masks is not None
-    sblk, bt = _pick_tiles(t, bp, fourhp, live=18 * L)
+    # weights are VMEM-resident ~2x in the backward: constant operands +
+    # f32 gradient accumulators (the grad outputs alias the accumulators)
+    fixed = _weight_bytes(layers, bf16) + _weight_bytes(layers, False)
+    tiles = _pick_tiles(t, bp, fourhp, live=18 * L, fixed=fixed)
+    if tiles is None:
+        raise ValueError(_VMEM_MSG.format(L=L))
+    sblk, bt = tiles
     nb = -(-bp // bt)
     nt = t // sblk
     bpad = nb * bt

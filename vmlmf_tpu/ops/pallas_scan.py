@@ -69,22 +69,37 @@ def _pick_time_block(t, cap=8):
     return 1
 
 
-def _pick_tiles(t, bp, fourhp, *, live, budget=80 * 1024 * 1024):
+def _pick_tiles(t, bp, fourhp, *, live, budget=80 * 1024 * 1024, fixed=0,
+                limit=110 * 1024 * 1024):
     """Jointly choose (sblk timesteps, bt batch rows) per grid step.
 
     The static inner loop is unrolled by the compiler, which keeps ~`live`
     [bt, 4h] f32 temporaries per unrolled step on the kernel stack (measured
-    empirically), so sblk·bt is VMEM-bounded.  Among configurations that fit,
-    minimize the number of grid steps (bp/bt)·(t/sblk), i.e. maximize
-    sblk·bt; tie-break toward larger bt (batch rows amortize matmul issue
-    latency better than unrolled steps do)."""
+    empirically), so sblk·bt is VMEM-bounded by ``budget``.  ``fixed`` is
+    VMEM residency that does NOT scale with the tile (whole-array weight
+    operands, weight gradient outputs/accumulators in multi-layer kernels);
+    streamed temporaries + fixed must additionally fit under ``limit``
+    (~chip VMEM minus headroom) — calibrated on v5e where the 2x650-w300
+    stack compiles (stream 71M + weights 35M) and the 4x650 stack does not.
+    Among configurations that fit, minimize the number of grid steps
+    (bp/bt)·(t/sblk), i.e. maximize sblk·bt; tie-break toward larger bt
+    (batch rows amortize matmul issue latency better than unrolled steps
+    do).  Returns None when even the minimal tile (sblk=1, bt=8) overflows —
+    the caller must fall back."""
+
+    def fits(s, b):
+        stream = live * s * b * fourhp * 4
+        return stream <= budget and stream + fixed <= limit
+
+    if not fits(1, 8):
+        return None
     best = None
     sblk = _pick_time_block(t)
     while True:
         bt = bp
-        while bt > 8 and live * sblk * bt * fourhp * 4 > budget:
+        while bt > 8 and not fits(sblk, bt):
             bt = _round_up(bt // 2, 8)
-        if live * sblk * bt * fourhp * 4 <= budget or sblk == 1:
+        if fits(sblk, bt):
             key = (sblk * bt, bt)
             if best is None or key > best[0]:
                 best = (key, sblk, bt)

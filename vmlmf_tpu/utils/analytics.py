@@ -78,6 +78,26 @@ def compression_report(baseline_params, compressed_params, *,
     return rep
 
 
+def vmlmf_hw_flops(input_size, hidden_size, w_rank, u_rank, num_gates=4) -> int:
+    """FLOPs one VMLMF cell timestep actually EXECUTES per sample.
+
+    Distinct from `lstm_cell_flops` (the reference's compression metric,
+    `compression_cal.py:72-113`), which counts every gate's low-rank chain
+    separately — the implementation shares the x@U_x / h@U_h factor products
+    across all gates, so the executed count is ~4x lower.  Use THIS for
+    MFU/roofline; use `lstm_cell_flops` to reproduce the reference's reports.
+
+    Counted: the four matmuls (2mn FLOPs each) + the diagonal/vm elementwise
+    epilogue + the state update.
+    """
+    g = num_gates
+    mm = 2 * (input_size * w_rank + w_rank * g * hidden_size
+              + hidden_size * u_rank + u_rank * g * hidden_size)
+    epilogue = 4 * g * hidden_size + 2 * (input_size + hidden_size)
+    state = 4 * hidden_size
+    return mm + epilogue + state
+
+
 # -- roofline --------------------------------------------------------------
 
 # Peak numbers per chip generation (compute in FLOP/s for the given matmul
