@@ -57,6 +57,69 @@ class TestOppPreprocess:
         assert set(np.unique(y)) <= {0, 1}
         assert (y == 1).sum() == 5
 
+    def test_113_channel_pipeline(self):
+        """Legacy OPP variant (`preprocess_Opportunity.py`): 113 channels,
+        locomotion/gestures label columns, no NaN-row dropping."""
+        from vmlmf_tpu.data.opp_preprocess import (
+            EXCLUDED_COLUMNS_113,
+            NORM_MAX_113,
+            NORM_MIN_113,
+        )
+
+        assert len(EXCLUDED_COLUMNS_113) == 250 - 116
+        assert len(NORM_MAX_113) == 113 and len(NORM_MIN_113) == 113
+        rng = np.random.default_rng(1)
+        raw = rng.normal(scale=100.0, size=(40, 250))
+        raw[:, 243] = 0.0
+        raw[4:9, 243] = 4     # locomotion 'sit' -> class 3
+        raw[:, 249] = 0.0
+        raw[10:12, 249] = 406516  # gesture -> class 1
+        raw[3, 40] = np.nan   # NOT dropped in the legacy pipeline
+        x, y = process_file(raw.copy(), task="locomotion", channels=113)
+        assert x.shape == (40, 113)
+        assert (x >= 0).all() and (x <= 1.0).all()
+        assert (y == 3).sum() == 5 and set(np.unique(y)) <= {0, 3}
+        xg, yg = process_file(raw.copy(), task="gestures", channels=113)
+        assert (yg == 1).sum() == 2 and set(np.unique(yg)) <= {0, 1}
+
+    def test_113_tables_match_legacy_reference(self):
+        """Tables and column selection cross-checked against the installed
+        legacy reference module (`preprocess_Opportunity.py:59-106`)."""
+        import importlib
+        import importlib.util
+        import sys
+
+        from vmlmf_tpu.data.opp_preprocess import (
+            EXCLUDED_COLUMNS_113,
+            NORM_MAX_113,
+            NORM_MIN_113,
+        )
+
+        # the legacy module does `from sliding_window import sliding_window`;
+        # satisfy it with this framework's module (fetched via import_module —
+        # the package __init__ re-export shadows the submodule attribute)
+        sw = importlib.import_module("vmlmf_tpu.data.sliding_window")
+        sys.modules.setdefault("sliding_window", sw)
+        path = ("/root/reference/rnn_compression_factorization/src/"
+                "preprocess_Opportunity.py")
+        spec = importlib.util.spec_from_file_location("ref_prep_opp", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        assert list(NORM_MAX_113) == list(mod.NORM_MAX_THRESHOLDS)
+        assert list(NORM_MIN_113) == list(mod.NORM_MIN_THRESHOLDS)
+        raw = np.arange(3 * 250, dtype=np.float64).reshape(3, 250)
+        ours = np.delete(raw, EXCLUDED_COLUMNS_113, axis=1)
+        np.testing.assert_array_equal(ours, mod.select_columns_opp(raw))
+        # and the full per-file pipeline output (locomotion task)
+        rng = np.random.default_rng(2)
+        raw = rng.normal(scale=100.0, size=(30, 250))
+        raw[:, 243] = 0.0
+        raw[5:8, 243] = 5  # lie -> class 4
+        x_ref, y_ref = mod.process_dataset_file(raw.copy(), "locomotion")
+        x, y = process_file(raw.copy(), task="locomotion", channels=113)
+        np.testing.assert_allclose(x, x_ref.astype(np.float32), atol=1e-6)
+        np.testing.assert_array_equal(y, y_ref.astype(np.int32))
+
     def test_label_map_complete(self):
         assert len(GESTURE_LABEL_MAP) == 17  # classes 1..17 (+0 null)
         assert sorted(GESTURE_LABEL_MAP.values()) == list(range(1, 18))

@@ -8,8 +8,10 @@ split collapsed into one flag).
 
 Usage (reference demo.sh configs):
   python -m vmlmf_tpu.cli.har_main --model mylstm --layer_sizes 180 --total --synthetic
-  python -m vmlmf_tpu.cli.har_main --model vmmodel --layer_sizes 180 --wRank 8 --uRanks 6 --total --synthetic
-  python -m vmlmf_tpu.cli.har_main --model vmlmf_group2 --layer_sizes 180 --wRank 8 --uRanks 2 4 --total --synthetic
+  python -m vmlmf_tpu.cli.har_main --model vmmodel --layer_sizes 180 \
+      --wRank 8 --uRanks 6 --total --synthetic
+  python -m vmlmf_tpu.cli.har_main --model vmlmf_group2 --layer_sizes 180 \
+      --wRank 8 --uRanks 2 4 --total --synthetic
 """
 
 from __future__ import annotations
@@ -43,10 +45,16 @@ def get_args(argv=None):
     p.add_argument("--seed", type=int, default=3)
     p.add_argument("--data", type=str, default="OPP", choices=["OPP", "UCI", "opp", "uci"])
     p.add_argument("--dataset_folder", type=str, default=None)
+    p.add_argument("--channels", type=int, default=77, choices=[77, 113],
+                   help="OPP variant: 77 (challenge) or 113 (legacy OPP_test.py:175)")
+    p.add_argument("--task", type=str, default="gestures",
+                   choices=["gestures", "locomotion"],
+                   help="label column for the 113-channel OPP pipeline")
     p.add_argument("--synthetic", action="store_true",
                    help="use shape-faithful synthetic data (no dataset needed)")
     p.add_argument("--ckpt_dir", type=str, default="./trained_models")
-    p.add_argument("--backend", type=str, default="xla", choices=["xla", "pallas", "pipelined", "pallas_pipelined"],
+    p.add_argument("--backend", type=str, default="xla",
+                   choices=["xla", "pallas", "pipelined", "pallas_pipelined"],
                    help="recurrence execution: XLA scan or fused Pallas kernel")
     return p.parse_args(argv)
 
@@ -63,13 +71,20 @@ def main(argv=None):
         groups=args.group, bidirectional=args.bidirectional,
         merge=args.concatingmode, deepconv=args.deepconv,
         data=args.data, dataset_folder=args.dataset_folder,
+        channels=args.channels, task=args.task,
         lr=args.lr, batch_size=args.batch_size, max_epochs=args.max_epochs,
         seed=args.seed, is_train=args.is_train or args.total,
         backend=args.backend,
     )
 
     folder = None if args.synthetic else cfg.dataset_folder
-    x_tr, y_tr, x_te, y_te = load_or_synthesize(cfg.data, folder, seed=cfg.seed)
+    syn_kw = {}
+    if cfg.data.lower() == "opp" and cfg.channels != 77:
+        syn_kw["channels"] = cfg.channels
+        if cfg.task == "locomotion":
+            syn_kw["num_classes"] = 5  # null + {stand, walk, sit, lie}
+    x_tr, y_tr, x_te, y_te = load_or_synthesize(cfg.data, folder, seed=cfg.seed,
+                                                **syn_kw)
 
     model = cfg.build_model()
     trainer = HARTrainer(model, learning_rate=cfg.lr,
@@ -100,7 +115,8 @@ def _report(cfg, params, seq_len):
     """Baseline-vs-compressed params/FLOPs (reference `main.py:141-149`)."""
     from vmlmf_tpu.config import HARConfig
 
-    base_cfg = HARConfig(model="mylstm", layer_sizes=cfg.layer_sizes, data=cfg.data)
+    base_cfg = HARConfig(model="mylstm", layer_sizes=cfg.layer_sizes, data=cfg.data,
+                         channels=cfg.channels)
     import jax
 
     base_params = base_cfg.build_model().init(jax.random.PRNGKey(0))

@@ -45,7 +45,8 @@ def get_args(argv=None):
     p.add_argument("--vocab_size", type=int, default=1000, help="synthetic vocab")
     p.add_argument("--log_every", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--backend", type=str, default="xla", choices=["xla", "pallas", "pipelined", "pallas_pipelined"],
+    p.add_argument("--backend", type=str, default="xla",
+                   choices=["xla", "pallas", "pipelined", "pallas_pipelined"],
                    help="recurrence execution: XLA scan or fused Pallas kernel")
     return p.parse_args(argv)
 

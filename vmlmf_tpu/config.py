@@ -40,18 +40,24 @@ class HARConfig:
     data: str = "OPP"              # OPP | UCI
     dataset_folder: str | None = None
     num_classes: int = 18          # reference hardcodes 18 for both datasets
+    channels: int = 77             # OPP variant: 77 (challenge) | 113 (legacy,
+                                   # `OPP_test.py:175` / preprocess_Opportunity.py)
+    task: str = "gestures"         # gestures | locomotion (113-ch pipeline only)
     # training
     lr: float = 2e-3
     batch_size: int = 81
     max_epochs: int = 100
     seed: int = 3
     is_train: bool = True
-    # execution
-    backend: str = "xla"           # "xla" | "pallas" (fused whole-scan kernel)
+    # execution: "xla" (lax.scan) | "pallas" (fused whole-scan kernel) |
+    # "pipelined" (XLA wavefront over layers; >=2 uniform layers) |
+    # "pallas_pipelined" (fused multi-layer wavefront kernel; >=2 uniform
+    # layers, VMEM-bound — falls back per-call otherwise)
+    backend: str = "xla"
 
     @property
     def input_size(self):
-        return 77 if self.data.lower() == "opp" else 9
+        return self.channels if self.data.lower() == "opp" else 9
 
     def _u_scalar(self):
         if self.u_ranks is None:
@@ -128,7 +134,10 @@ class LMConfig:
     max_grad_norm: float = 5.0
     seed: int = 0
     data_dir: str | None = "./data"
-    backend: str = "xla"           # "xla" | "pallas"
+    # execution: "xla" | "pallas" | "pipelined" | "pallas_pipelined"
+    # (see HARConfig.backend; "pallas" is the measured winner at the PTB
+    # flagship config — BASELINE.md)
+    backend: str = "xla"
 
     def cell_factory(self):
         t = self.lstm_type.lower()

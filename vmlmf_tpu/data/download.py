@@ -57,12 +57,15 @@ def download(kind: str, dest_dir: str = "./data", *, extract: bool = True) -> st
 
 
 def prepare_opp(dest_dir: str = "./data", out_dir: str = "./data/opp_npy",
-                task: str = "gestures") -> str:
-    """download('opp') + full ETL to X_/y_{train,test}.npy (preprocess.sh)."""
+                task: str = "gestures", channels: int = 77) -> str:
+    """download('opp') + full ETL to X_/y_{train,test}.npy (preprocess.sh).
+
+    channels=77: 2021 challenge pipeline; channels=113: the legacy variant
+    (`preprocess_Opportunity.py`, tasks 'gestures'/'locomotion')."""
     from vmlmf_tpu.data.opp_preprocess import generate_npy
 
     zip_path = download("opp", dest_dir, extract=False)
-    return generate_npy(zip_path, out_dir, task=task)
+    return generate_npy(zip_path, out_dir, task=task, channels=channels)
 
 
 def main(argv=None):
@@ -71,11 +74,13 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description="Download + prepare HAR datasets")
     ap.add_argument("kind", choices=["uci", "opp", "all"])
     ap.add_argument("--dest", default="./data")
+    ap.add_argument("--task", default="gestures", choices=["gestures", "locomotion"])
+    ap.add_argument("--channels", type=int, default=77, choices=[77, 113])
     args = ap.parse_args(argv)
     kinds = ["uci", "opp"] if args.kind == "all" else [args.kind]
     for k in kinds:
         if k == "opp":
-            print(prepare_opp(args.dest))
+            print(prepare_opp(args.dest, task=args.task, channels=args.channels))
         else:
             print(download(k, args.dest))
 

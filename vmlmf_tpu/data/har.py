@@ -64,16 +64,21 @@ def load_uci(folder):
     return tuple(out)
 
 
-def synthetic_har(kind="opp", n_train=600, n_test=200, seed=0):
+def synthetic_har(kind="opp", n_train=600, n_test=200, seed=0, channels=None,
+                  num_classes=None):
     """Class-separable synthetic sensor windows with the real dataset shapes.
 
     Each class gets a random low-frequency prototype plus noise, so short
     training runs show real learning signal (used by smoke tests and by the
-    benchmark harness when no dataset is on disk)."""
+    benchmark harness when no dataset is on disk).  `channels` overrides the
+    feature count (113 for the legacy OPP variant); `num_classes` the label
+    space (5 for the locomotion task)."""
     if kind.lower() == "opp":
         t, f, c = OPP_WINDOW, OPP_NUM_FEATURES, OPP_NUM_CLASSES
     else:
         t, f, c = UCI_WINDOW, UCI_NUM_FEATURES, UCI_NUM_CLASSES
+    f = channels or f
+    c = num_classes or c
     rng = np.random.default_rng(seed)
     protos = rng.normal(size=(c, t, f)).astype(np.float32)
     # smooth prototypes over time so the recurrence has structure to track

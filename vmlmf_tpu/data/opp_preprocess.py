@@ -1,11 +1,17 @@
-"""Opportunity dataset ETL: zip -> 77 channels -> windows -> .npy.
+"""Opportunity dataset ETL: zip -> 77 or 113 channels -> windows -> .npy.
 
 Parity with
-`/root/reference/rnn_compression_factorization_vmlmf/src/preprocess_opp.py:81-394`:
-column selection (77 of 249), NaN-row removal, gesture-label remap to 0..17,
-per-channel linear interpolation of remaining NaNs, min/max normalization with
-the published hardcoded sensor thresholds, fixed train/test file split, then
-sliding windows of 24 step 12.
+`/root/reference/rnn_compression_factorization_vmlmf/src/preprocess_opp.py:81-394`
+(77-channel challenge subset, gestures task) and the legacy 113-channel
+variant `/root/reference/rnn_compression_factorization/src/preprocess_Opportunity.py`
+(`channels=113`, tasks 'gestures'/'locomotion' — the input fed to
+`OPP_test.py:175`): column selection, label remap, per-channel linear
+interpolation, min/max normalization with the published hardcoded sensor
+thresholds, fixed train/test file split, then sliding windows of 24 step 12.
+Pipeline differences preserved: the 77-col pipeline DROPS rows containing any
+NaN before interpolating (`preprocess_opp.py:121-138`); the legacy 113-col
+pipeline keeps all rows and interpolates everything
+(`preprocess_Opportunity.py:241-245`).
 
 Vectorized NumPy throughout (the reference loops per column / per row with
 pandas); behavior-equivalent outputs.
@@ -64,6 +70,30 @@ GESTURE_LABEL_MAP = {
 }
 LOCOMOTION_LABEL_MAP = {4: 3, 5: 4}
 
+# ---- legacy 113-channel variant (`preprocess_Opportunity.py`) -------------
+# Deletion list keeps 116 of 250 raw columns: timestamp (0), the 113
+# challenge channels, the locomotion label (raw 243 -> position 114) and the
+# gestures label (raw 249 -> position 115) (`preprocess_Opportunity.py:89-106`).
+EXCLUDED_COLUMNS_113 = (
+    list(range(46, 50)) + list(range(59, 63)) + list(range(72, 76))
+    + list(range(85, 89)) + list(range(98, 102))
+    + list(range(134, 243)) + list(range(244, 249))
+)
+
+# per-sensor thresholds for the 113 channels (`preprocess_Opportunity.py:59-85`)
+_ACC113 = [3000] * 3 + [10000] * 3 + [1500] * 3
+NORM_MAX_113 = (
+    [3000] * 39 + [10000, 10000, 10000, 1500, 1500, 1500] + _ACC113 * 4
+    + [250, 25, 200] + [5000] * 6 + [10000] * 6
+    + [250, 250, 25, 200] + [5000] * 6 + [10000] * 6 + [250]
+)
+_ACC113_MIN = [-3000] * 3 + [-10000] * 3 + [-1000] * 3
+NORM_MIN_113 = (
+    [-3000] * 39 + [-10000, -10000, -10000, -1000, -1000, -1000] + _ACC113_MIN * 4
+    + [-250, -100, -200] + [-5000] * 6 + [-10000] * 6
+    + [-250, -250, -100, -200] + [-5000] * 6 + [-10000] * 6 + [-250]
+)
+
 
 def select_columns(data):
     """Keep the 77 OPPORTUNITY-challenge columns (+ the label column which
@@ -103,26 +133,46 @@ def interpolate_nan(x):
     return np.nan_to_num(out, nan=0.0)
 
 
-def process_file(raw, task="gestures"):
-    """One .dat matrix -> (x [N,77] normalized f32, y [N] i32)."""
-    data = select_columns(raw)
-    # drop rows with any NaN among the 77 sensor channels? The reference drops
-    # rows with NaN across the selected matrix (`preprocess_opp.py:121-138`).
-    keep = ~np.isnan(data).any(axis=1)
-    data = data[keep]
-    x = data[:, :NB_SENSOR_CHANNELS].astype(np.float32)
-    y = data[:, NB_SENSOR_CHANNELS].astype(np.int64)
+def _remap_labels(y, task):
     mapping = GESTURE_LABEL_MAP if task == "gestures" else LOCOMOTION_LABEL_MAP
     y_out = np.zeros_like(y) if task == "gestures" else y.copy()
     for raw_label, cls in mapping.items():
         y_out[y == raw_label] = cls
+    return y_out.astype(np.int32)
+
+
+def process_file(raw, task="gestures", channels=77):
+    """One .dat matrix -> (x [N, channels] normalized f32, y [N] i32).
+
+    channels=77: the 2021 challenge pipeline (`preprocess_opp.py`) — NaN rows
+    dropped before interpolation, gesture label at position 77.
+    channels=113: the legacy pipeline (`preprocess_Opportunity.py:220-248`) —
+    no row dropping, timestamp column discarded, locomotion label at selected
+    position 114 / gestures at 115.
+    """
+    if channels == 77:
+        data = select_columns(raw)
+        # the reference drops rows with NaN anywhere in the selected matrix
+        # (`preprocess_opp.py:121-138`)
+        data = data[~np.isnan(data).any(axis=1)]
+        x = data[:, :77].astype(np.float32)
+        y = data[:, 77].astype(np.int64)
+        mn, mx = NORM_MIN, NORM_MAX
+    elif channels == 113:
+        data = np.delete(raw, EXCLUDED_COLUMNS_113, axis=1)
+        x = data[:, 1:114].astype(np.float32)  # col 0 = timestamp
+        y = data[:, 114 if task == "locomotion" else 115].astype(np.int64)
+        mn, mx = NORM_MIN_113, NORM_MAX_113
+    else:
+        raise ValueError(f"channels must be 77 or 113, got {channels}")
+    y_out = _remap_labels(y, task)
     x = _native.interp_nan_f32(x)
-    x = _native.norm_clamp_f32(x, np.asarray(NORM_MIN, np.float32),
-                               np.asarray(NORM_MAX, np.float32))
-    return x, y_out.astype(np.int32)
+    x = _native.norm_clamp_f32(x, np.asarray(mn, np.float32),
+                               np.asarray(mx, np.float32))
+    return x, y_out
 
 
-def generate_npy(zip_path, out_dir, task="gestures"):
+def generate_npy(zip_path, out_dir, task="gestures", channels=77):
     """Full ETL: OpportunityUCIDataset.zip -> X_/y_{train,test}.npy."""
     os.makedirs(out_dir, exist_ok=True)
     with zipfile.ZipFile(zip_path) as zf:
@@ -135,7 +185,7 @@ def generate_npy(zip_path, out_dir, task="gestures"):
                     raw = np.atleast_2d(_native.loadtxt(zf.read(member)))
                 except KeyError:
                     continue
-                x, y = process_file(raw, task)
+                x, y = process_file(raw, task, channels)
                 xs.append(x)
                 ys.append(y)
             x = np.concatenate(xs)
