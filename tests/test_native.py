@@ -90,7 +90,6 @@ class TestGatherNorm:
 def test_gather_rows_accepts_jax_arrays():
     """Trainers may hand jax arrays to the batch iterator; the native gather
     must fall back to fancy indexing rather than assume numpy."""
-    import jax
     import jax.numpy as jnp
 
     src = jnp.arange(24, dtype=jnp.float32).reshape(6, 4)

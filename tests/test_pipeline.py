@@ -16,7 +16,7 @@ import pytest
 from vmlmf_tpu.cells import LSTMCell, VMLMFCell
 from vmlmf_tpu.nn.models import LMModel
 from vmlmf_tpu.nn.recurrence import RNN
-from vmlmf_tpu.ops.pipeline import pipelined_available, pipelined_lstm_scan
+from vmlmf_tpu.ops.pipeline import pipelined_available
 
 
 def _stack(cell_cls, sizes, **kw):

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from vmlmf_tpu.cells.base import Cell, lstm_update, normal_init, pad_features
-from vmlmf_tpu.ops.lowrank import gate_diag_rowsum, lowrank_proj
+from vmlmf_tpu.ops.lowrank import gate_diag_rowsum
 
 
 @dataclasses.dataclass(frozen=True)

@@ -80,4 +80,5 @@ def load_or_synthesize(data_dir=None, vocab_size=1000, seed=0):
         return data_init(data_dir)
     corpus = synthetic_corpus(vocab_size=vocab_size, seed=seed)
     n = len(corpus)
-    return corpus[: int(n * 0.8)], corpus[int(n * 0.8) : int(n * 0.9)], corpus[int(n * 0.9) :], vocab_size
+    return (corpus[: int(n * 0.8)], corpus[int(n * 0.8) : int(n * 0.9)],
+            corpus[int(n * 0.9) :], vocab_size)
