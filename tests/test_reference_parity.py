@@ -508,6 +508,86 @@ def test_dual_diagonal_cell_parity(ref_lstm_legacy, low_rank):
 
 
 # ---------------------------------------------------------------------------
+# 6b. DeepConv feature stack (`compressed_deepConv.py:78-105`)
+# ---------------------------------------------------------------------------
+
+def test_deepconv_features_parity():
+    """Transplant the 4 Conv2d layers into ConvFeatures and compare outputs.
+
+    Layout notes: torch is NCHW/OIHW cross-correlation; ConvFeatures is
+    NHWC/HWIO (TPU-native) — kernels transplant as permute(2,3,1,0).  The
+    reference flattens channel-major (`permute(0,2,1,3)` then reshape ->
+    [B, T', C*F], `compressed_deepConv.py:102-103`) while ConvFeatures
+    flattens feature-major ([B, T', F*C]) — the same feature SET in a
+    different order, equivalent up to an input permutation of the (learned)
+    downstream projection; the comparison reorders accordingly."""
+    import torch.nn as torch_nn
+
+    from vmlmf_tpu.nn.layers import ConvFeatures
+
+    b, t, f, c = 3, 24, 9, 64
+    torch.manual_seed(13)
+    convs = [torch_nn.Conv2d(1, c, (5, 1))] + [
+        torch_nn.Conv2d(c, c, (5, 1)) for _ in range(3)]
+    x = torch.randn(b, t, f)
+    with torch.no_grad():
+        y = x.unsqueeze(1)
+        for conv in convs:
+            y = conv(y)
+        y = y.permute(0, 2, 1, 3)             # [B, T', C, F]
+        ref = y.reshape(b, y.size(1), c * f)  # channel-major flatten
+
+    cf = ConvFeatures(channels=c)  # activation=False default = reference
+    params = {}
+    for i, conv in enumerate(convs):
+        params[f"k{i}"] = jnp.asarray(
+            t2n(conv.weight).transpose(2, 3, 1, 0))  # OIHW -> HWIO
+        params[f"b{i}"] = jnp.asarray(t2n(conv.bias))
+    out = cf(params, jnp.asarray(t2n(x)))  # [B, T', F*C] feature-major
+    tp = t - 16
+    # reorder feature-major (f, c) -> channel-major (c, f)
+    out_cm = np.asarray(out).reshape(b, tp, f, c).transpose(0, 1, 3, 2).reshape(
+        b, tp, c * f)
+    assert_close(out_cm, t2n(ref), atol=1e-4, rtol=1e-4, msg="conv features")
+
+
+# ---------------------------------------------------------------------------
+# 6c. torch nn.LSTM (the LM's lstm_type="pytorch", `vmlmf_lm.py:395-396`)
+# ---------------------------------------------------------------------------
+
+def test_torch_nn_lstm_parity():
+    """The reference's 'pytorch' LM type is plain nn.LSTM; its gate layout
+    (W_ii|W_if|W_ig|W_io) matches this framework's (i,f,g,o) directly —
+    transplant W_ih/W_hh (transposed) with b = b_ih + b_hh."""
+    import torch.nn as torch_nn
+
+    from vmlmf_tpu.cells.lstm import LSTMCell
+    from vmlmf_tpu.nn.recurrence import scan_layer
+
+    n = h = 12
+    t_len, b = 7, 4
+    torch.manual_seed(14)
+    ref = torch_nn.LSTM(n, h)  # time-major
+    xs = torch.randn(t_len, b, n)
+    h0, c0 = torch.randn(1, b, h), torch.randn(1, b, h)
+    with torch.no_grad():
+        ys_ref, (hT, cT) = ref(xs, (h0, c0))
+
+    cell = LSTMCell(n, h)
+    params = {
+        "w": jnp.asarray(t2n(ref.weight_ih_l0).T),
+        "u": jnp.asarray(t2n(ref.weight_hh_l0).T),
+        "b": jnp.asarray(t2n(ref.bias_ih_l0) + t2n(ref.bias_hh_l0)),
+    }
+    prep = cell.prepare(params)
+    ys, (hTj, cTj) = scan_layer(cell, prep, jnp.asarray(t2n(xs)),
+                                (jnp.asarray(t2n(h0)[0]), jnp.asarray(t2n(c0)[0])))
+    assert_close(ys, t2n(ys_ref), atol=5e-5, msg="nn.LSTM outputs")
+    assert_close(hTj, t2n(hT)[0], atol=5e-5)
+    assert_close(cTj, t2n(cT)[0], atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
 # 7. Training trajectories — the reference's OWN train loops
 # ---------------------------------------------------------------------------
 
