@@ -50,6 +50,12 @@ import jax
 import jax.numpy as jnp
 
 REF = pathlib.Path("/root/reference")
+
+pytestmark = pytest.mark.skipif(
+    not REF.exists(),
+    reason="reference checkout not present (standalone install) — "
+           "the dense-reconstruction oracles in test_cells.py still run",
+)
 REF_MODELS = REF / "rnn_compression_factorization_vmlmf/src/models"
 REF_TRAIN = REF / "rnn_compression_factorization_vmlmf/src/train_test"
 REF_LEGACY = REF / "rnn_compression_factorization/src/module"
