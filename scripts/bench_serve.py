@@ -35,13 +35,19 @@ def bench(batch, iters=20):
     def run(logits, states, iters):
         toks = None
         for _ in range(iters):
-            # chain: next block conditions on the last token's logits
-            toks, states = dec.decode(params, logits, states, steps=STEPS)
-            logits, states = dec._token_step(
-                params, dec._preps(params), toks[-1], states)
+            # chain: next block conditions on the last token's logits —
+            # returned by decode itself, so the whole chain stays jitted
+            # (an eager per-token bridge here costs hundreds of tunneled
+            # op dispatches per iteration and dominates the measurement)
+            toks, states, logits = dec.decode(
+                params, logits, states, steps=STEPS, return_logits=True)
         return toks, logits
 
-    run(logits, states, 2)  # compile + warm
+    toks, out = run(logits, states, 2)  # compile + warm
+    # drain the queue with a REAL value read before starting the clock —
+    # block_until_ready can return early on this runtime (BASELINE.md), so
+    # without this the compile+warm work leaks into the timed window
+    _ = int(jnp.sum(out[0]) != 0) + int(toks[-1, 0])
     t0 = time.perf_counter()
     toks, out = run(logits, states, iters)
     closing = int(jnp.sum(out[0]) != 0) + int(toks[-1, 0])  # value read

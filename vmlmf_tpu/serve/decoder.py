@@ -66,8 +66,10 @@ class Decoder:
         return logits[-1], states
 
     def decode(self, params, last_logits, states, *, steps, key=None,
-               temperature=None, top_k=None):
-        """Generate `steps` tokens. -> (tokens [steps, B] int32, states).
+               temperature=None, top_k=None, return_logits=False):
+        """Generate `steps` tokens. -> (tokens [steps, B] int32, states)
+        (or (tokens, states, last_logits) with ``return_logits=True`` — use
+        that to chain decode blocks without any eager per-token step).
 
         temperature=None -> greedy argmax; otherwise categorical sampling at
         the given temperature (a runtime scalar — no recompile per value),
@@ -79,9 +81,11 @@ class Decoder:
         if greedy:
             key = jax.random.PRNGKey(0)  # unused, keeps the carry uniform
             temperature = 1.0
-        tokens, states = self._decode_jit(
+        tokens, states, logits = self._decode_jit(
             params, last_logits, tuple(states), jnp.float32(temperature), key,
             steps, greedy, top_k)
+        if return_logits:
+            return tokens, list(states), logits
         return tokens, list(states)
 
     @functools.partial(jax.jit, static_argnums=(0, 6, 7, 8))
@@ -103,9 +107,9 @@ class Decoder:
             logits, states = self._token_step(params, preps, tok, states)
             return (logits, states, key), tok
 
-        (_, states, _), tokens = jax.lax.scan(
+        (logits, states, _), tokens = jax.lax.scan(
             body, (last_logits, states, key), None, length=steps)
-        return tokens, states
+        return tokens, states, logits
 
     def generate(self, params, prompt_ids, *, max_new_tokens, key=None,
                  temperature=None, top_k=None):
