@@ -32,6 +32,17 @@ transplanting with the permutation applied must reproduce the reference
 function exactly.  Note the group cell genuinely CROSSES orders between its
 x-side and h-side — chunk 0 of gx feeds the input gate while chunk 0 of gh
 feeds the forget gate — which these tests reproduce faithfully.
+
+NOT transplant-testable (documented divergence): `MyVMLSTMGroup`
+(`vmlmf_lm.py:53-174`).  Its recurrent output is flattened GROUP-major
+(`lstm_step` line 135: [B, g, 4k] -> [B, 4h]) while its vm terms and x-side
+are gate-major, so each gate nonlinearity consumes a (group, gate)-scrambled
+mix of blocks whose input-group connectivity differs per position — not a
+parameter relabeling of any coherent group cell (on top of the hardcoded
+batch-40 scratch buffers at `vmlmf_lm.py:112-113` that crash every other
+batch size).  The framework's `VMLMFGroupCell` implements the coherent
+gate-major wiring for the LM, matching the HAR group cell it was derived
+from; capability (not bug-for-bug) parity, per SURVEY.md §7.
 """
 
 from __future__ import annotations
@@ -447,6 +458,76 @@ def test_legacy_gru_cell_parity(ref_gru, low_rank):
     params = jax.tree_util.tree_map(jnp.asarray, params)
     h1j, _ = cell.apply_step(params, jnp.asarray(t2n(x)), jnp.asarray(t2n(h0)))
     assert_close(h1j, t2n(h1), msg="GRU h'")
+
+
+def test_legacy_gru_group3_parity(ref_gru):
+    """Three rotation tiers (`compressed_gru.py:333-419`) — validates the
+    parametric `groups` generalization beyond g=2."""
+    from vmlmf_tpu.cells.gru import GRUGroupCell
+
+    n, h, g, b = 5, 9, 3, 4
+    urs = (3, 2, 2)
+    torch.manual_seed(15)
+    rc = ref_gru.myGRUCell_group3(n, h, wRank=None, uRanks=list(urs), g=g)
+    x = torch.randn(b, n)
+    h0 = torch.randn(b, h)
+    h1 = rc(x, h0)
+
+    cell = GRUGroupCell(n, h, w_rank=None, u_ranks=urs, groups=g)
+    params = {
+        "w": np.concatenate([t2n(rc.W1), t2n(rc.W2), t2n(rc.W3)], axis=1),
+        "b": np.concatenate([t2n(rc.bias_r)[0], t2n(rc.bias_gate)[0],
+                             t2n(rc.bias_update)[0]]),
+        "u_h_0": t2n(rc.U),
+        "v_h_0": np.concatenate([t2n(rc.U1), t2n(rc.U2), t2n(rc.U3)], axis=2),
+        "u_h_1": t2n(rc.UU),
+        "v_h_1": np.concatenate([t2n(rc.UU1), t2n(rc.UU2), t2n(rc.UU3)], axis=2),
+        "u_h_2": t2n(rc.UUU),
+        "v_h_2": np.concatenate([t2n(rc.UUU1), t2n(rc.UUU2), t2n(rc.UUU3)], axis=2),
+    }
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    h1j, _ = cell.apply_step(params, jnp.asarray(t2n(x)), jnp.asarray(t2n(h0)))
+    assert_close(h1j, t2n(h1), msg="group-3 GRU h'")
+
+
+@pytest.mark.parametrize("low_rank", [False, True])
+def test_legacy_lstm_group_cell_parity(ref_lstm_legacy, low_rank):
+    """`myLSTMGroupCell` (`compressed_lstm.py:287-422`): per-gate USE order is
+    (f, i, o, c) — forward calls Ws[0]/Ugate[+0] for forget, Ws[1]/+1 input,
+    Ws[2]/+2 output, Ws[3]/+3 candidate (`:328-402`) — despite the ctor
+    comment claiming (f, i, c, o).  Framework (i,f,g,o) <- use indices
+    (1, 0, 3, 2)."""
+    from vmlmf_tpu.cells.group import LSTMGroupCell
+
+    n, h, g, b = 5, 8, 2, 4
+    urs = (3, 2)
+    wr = 3 if low_rank else None
+    torch.manual_seed(16)
+    rc = ref_lstm_legacy.myLSTMGroupCell(n, h, wRank=wr, uRanks=list(urs), g=g)
+    x = torch.randn(b, n)
+    h0, c0 = torch.randn(b, h), torch.randn(b, h)
+    h1, c1 = rc(x, (h0, c0), torch.device("cpu"))
+
+    cell = LSTMGroupCell(n, h, w_rank=wr, u_ranks=urs, groups=g)
+    use = (1, 0, 3, 2)  # my (i,f,g,o) <- reference use order (f,i,o,c)
+    ws = np.concatenate([t2n(rc.Ws[j]) for j in use], axis=1)
+    bias = np.concatenate([t2n(rc.bias_i)[0], t2n(rc.bias_f)[0],
+                           t2n(rc.bias_c)[0], t2n(rc.bias_o)[0]])
+    params = {"b": bias}
+    if low_rank:
+        params["w_fac"] = t2n(rc.W)
+        params["w_proj"] = ws
+    else:
+        params["w"] = ws
+    for i in range(g):
+        params[f"u_h_{i}"] = t2n(rc.Us[i])
+        params[f"v_h_{i}"] = np.concatenate(
+            [t2n(rc.Ugate[i * 4 + j]) for j in use], axis=2)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    (h1j, c1j), _ = cell.apply_step(params, jnp.asarray(t2n(x)),
+                                    (jnp.asarray(t2n(h0)), jnp.asarray(t2n(c0))))
+    assert_close(h1j, t2n(h1), msg="legacy group LSTM h'")
+    assert_close(c1j, t2n(c1), msg="legacy group LSTM c'")
 
 
 def test_legacy_gru_group2_parity(ref_gru):
