@@ -114,6 +114,7 @@ def bench_har():
     from vmlmf_tpu.nn.models import HARNet
     from vmlmf_tpu.train.har import HARTrainer
     from vmlmf_tpu.utils.analytics import (
+        TPU_PEAKS,
         count_params,
         roofline_report,
         vmlmf_hw_flops,
@@ -159,8 +160,7 @@ def bench_har():
     hbm = har_train_hbm_bytes(batch, t, feats, 180, 6, n_params)
     chip = detect_chip()
     roof = roofline_report(train_flops, hbm, sec_per_batch, chip=chip, dtype="f32")
-    from vmlmf_tpu.utils.analytics import TPU_PEAKS
-    mfu = (train_flops / sec_per_batch) / TPU_PEAKS[chip]["f32"]
+    mfu = roof["achieved_flops_per_s"] / TPU_PEAKS[chip]["f32"]
 
     # baseline path: unhoisted math, per-batch host dispatch
     # (fresh params — the production path donated its buffers)

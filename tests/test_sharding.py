@@ -237,6 +237,18 @@ class TestHostInputPipeline:
 
         assert local_batch_slice(16) == slice(0, 16)
 
+    def test_make_global_batch_rejects_indivisible_batch(self, monkeypatch):
+        """Multi-process with batch % process_count != 0 must raise, not
+        silently drop rows (HAR's batch 81 on 2 hosts would lose row 80)."""
+        import pytest
+
+        from vmlmf_tpu.parallel.mesh import make_global_batch
+
+        mesh = make_mesh()
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        with pytest.raises(ValueError, match="not divisible"):
+            make_global_batch(mesh, np.zeros((9, 3), np.float32), P("data", None))
+
     def test_data_axis_index(self):
         from vmlmf_tpu.parallel.mesh import _data_axis_index
 

@@ -77,6 +77,12 @@ def main(argv=None):
         backend=args.backend,
     )
 
+    if cfg.task == "locomotion" and cfg.channels != 113:
+        raise SystemExit(
+            "--task locomotion requires --channels 113 (the legacy OPP "
+            "pipeline exposes the locomotion label column; the 77-col "
+            "challenge pipeline is gestures-only)")
+
     folder = None if args.synthetic else cfg.dataset_folder
     syn_kw = {}
     if cfg.data.lower() == "opp" and cfg.channels != 77:

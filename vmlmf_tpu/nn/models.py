@@ -233,9 +233,7 @@ class LMModel:
 
             preps = [c.prepare(p) for c, p in zip(self.rnn.cells, params["rnn"])]
             layers = stack_units(self.rnn.cells, preps)
-            prec0 = os.environ.get("VMLMF_PALLAS_PRECISION", "f32")
-            if layers is not None and not stack_fits(
-                    layers, x.shape[0], x.shape[1], prec0):
+            if not stack_fits(layers):
                 layers = None  # VMEM-bound stack: per-layer fused fallback
             if layers is not None:
                 gi0 = self.rnn.cells[0].inp(preps[0], x)

@@ -133,9 +133,7 @@ class RNN:
 
             preps = [c.prepare(p) for c, p in zip(self.cells, params)]
             layers = stack_units(self.cells, preps)
-            prec0 = self.precision or os.environ.get("VMLMF_PALLAS_PRECISION", "f32")
-            if layers is not None and not stack_fits(
-                    layers, xs.shape[0], xs.shape[1], prec0):
+            if not stack_fits(layers):
                 layers = None  # VMEM-bound stack: per-layer fused fallback
             if layers is not None:
                 gi0 = self.cells[0].inp(preps[0], xs)

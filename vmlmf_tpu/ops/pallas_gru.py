@@ -102,7 +102,7 @@ def _fwd_kernel(gi_ref, uf_ref, prz_ref, pn_ref, h0_ref,
 def _fwd_call(gi, uf, prz, pn, h0, *, lowrank, interpret, residuals, post=False):
     t, bp, threehp = gi.shape
     hp = threehp // 3
-    sblk, bt = _pick_tiles(t, bp, threehp, live=10 if residuals else 8)
+    sblk, bt = _pick_tiles(t, bp, threehp, live=10 if residuals else 8) or (1, 8)
     nb = bp // bt if bp % bt == 0 else -(-bp // bt)
     gi = _pad_to(gi, (t, nb * bt, threehp))
     h0 = _pad_to(h0, (nb * bt, hp))
@@ -263,7 +263,7 @@ def _bwd_call(gates, hu, rhu, uf, prz, pn, hprev, dys, *, lowrank, interpret,
               post=False, recn=None):
     t, bp, threehp = gates.shape
     hp = threehp // 3
-    sblk, bt = _pick_tiles(t, bp, threehp, live=16)
+    sblk, bt = _pick_tiles(t, bp, threehp, live=16) or (1, 8)
     nb = bp // bt if bp % bt == 0 else -(-bp // bt)
     bpad = nb * bt
     gates = _pad_to(gates, (t, bpad, threehp))

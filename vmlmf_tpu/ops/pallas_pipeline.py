@@ -92,26 +92,24 @@ def _weight_bytes(layers, bf16):
     return total
 
 
-def stack_fits(layers, t, b, precision="f32"):
-    """True when the fused stack kernel (fwd AND bwd) plausibly fits VMEM
-    for this (layers, T, B); callers fall back to the per-layer 'pallas'
-    backend instead of failing TPU compilation.
+def stack_fits(layers):
+    """True when the fused stack kernel (fwd AND bwd) plausibly fits VMEM;
+    callers fall back to the per-layer 'pallas' backend instead of failing
+    TPU compilation.
 
     Deliberately conservative criterion — VMEM-resident weights twice (bwd:
-    operand + f32 grad accumulator) plus the minimal backward stream tile
-    must fit the stream budget — calibrated against measurement on v5e
-    (tunneled compiler reports no allocation detail): the 2x650 w300/u300
-    stack compiles and runs, the 4x650 stack does not compile even at the
-    smallest tile.  The stack kernel's whole design (all layers' factors
-    VMEM-resident) bounds its profitable depth; past that bound the
-    per-layer fused kernel is the right tool anyway."""
-    del t  # the minimal stream tile is time-block 1
+    operand + f32 grad accumulator; grads are always f32, so precision does
+    not enter) plus the minimal backward stream tile (time-block 1, 8 batch
+    rows — independent of T/B) must fit the stream budget — calibrated
+    against measurement on v5e (tunneled compiler reports no allocation
+    detail): the 2x650 w300/u300 stack compiles and runs, the 4x650 stack
+    does not compile even at the smallest tile.  The stack kernel's whole
+    design (all layers' factors VMEM-resident) bounds its profitable depth;
+    past that bound the per-layer fused kernel is the right tool anyway."""
     if layers is None:
         return False
-    del precision  # grads are always f32; use the conservative f32 estimate
     h = layers[0]["u"].shape[0]
     hp = _round_up(h, 128)
-    del b
 
     def wbytes(wsize):
         total = 0

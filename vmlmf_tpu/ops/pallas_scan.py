@@ -180,7 +180,7 @@ def _fwd_call(gi, u, v, dvec, h0, c0, *, lowrank, interpret, bf16,
               residuals):
     t, bp, fourhp = gi.shape
     hp = fourhp // 4
-    sblk, bt = _pick_tiles(t, bp, fourhp, live=10 if residuals else 8)
+    sblk, bt = _pick_tiles(t, bp, fourhp, live=10 if residuals else 8) or (1, 8)
     nb = bp // bt if bp % bt == 0 else -(-bp // bt)
     gi = _pad_to(gi, (t, nb * bt, fourhp))
     h0 = _pad_to(h0, (nb * bt, hp))
@@ -359,7 +359,7 @@ def _bwd_call(gates, hu, u, v, dvec, hprev, cprev, cs, dys, dcs,
               *, lowrank, interpret, bf16):
     t, bp, fourhp = gates.shape
     hp = fourhp // 4
-    sblk, bt = _pick_tiles(t, bp, fourhp, live=16)
+    sblk, bt = _pick_tiles(t, bp, fourhp, live=16) or (1, 8)
     nb = bp // bt if bp % bt == 0 else -(-bp // bt)
     bpad = nb * bt
     gates = _pad_to(gates, (t, bpad, fourhp))

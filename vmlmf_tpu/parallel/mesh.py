@@ -100,7 +100,13 @@ def make_global_batch(mesh_or_sharding, x, spec=None, *, local=False):
         return jax.device_put(x, sharding)
     if not local:
         axis = _data_axis_index(sharding.spec)
+        n = x.shape[axis]
+        if n % jax.process_count() != 0:
+            raise ValueError(
+                f"global batch dim {n} is not divisible by process_count="
+                f"{jax.process_count()}; rows would be silently dropped — "
+                f"pad or resize the batch")
         idx = [slice(None)] * x.ndim
-        idx[axis] = local_batch_slice(x.shape[axis])
+        idx[axis] = local_batch_slice(n)
         x = x[tuple(idx)]
     return jax.make_array_from_process_local_data(sharding, x)
