@@ -83,6 +83,67 @@ class TestDecoder:
         else:
             raise AssertionError("expected ValueError without a key")
 
+    def test_beam_width_1_equals_greedy(self):
+        dec = Decoder(self.model)
+        greedy = dec.generate(self.params, self.prompt, max_new_tokens=6)
+        toks, scores = dec.beam_search(self.params, self.prompt, steps=6, beams=1)
+        assert toks.shape == (6, B, 1) and scores.shape == (B, 1)
+        np.testing.assert_array_equal(toks[:, :, 0], greedy)
+
+    def test_beam_search_exact_on_two_steps(self):
+        """steps=2 with beams=V is exhaustive: every first token survives step
+        0, so the result must equal brute force over all V^2 sequences."""
+        vocab = 12
+        model = LMModel(
+            vocab_size=vocab, hidden_size=16, num_layers=2,
+            cell_factory=lambda n, h: VMLMFCell(n, h, w_rank=4, u_rank=4),
+            dropout_rate=0.0, winit=0.05)
+        params = model.init(jax.random.PRNGKey(2))
+        prompt = jax.random.randint(jax.random.PRNGKey(3), (5, 2), 0, vocab)
+        dec = Decoder(model)
+        toks, scores = dec.beam_search(params, prompt, steps=2, beams=vocab)
+
+        # brute force: total logp of every (t0, t1) pair per batch row
+        states = model.state0(2)
+        logits, states = model.apply(params, prompt, states, train=False)
+        lp0 = jax.nn.log_softmax(logits[-1])  # [B, V]
+        best = []
+        for row in range(2):
+            totals = np.full((vocab, vocab), -np.inf)
+            for t0 in range(vocab):
+                st = [(h[row : row + 1], c[row : row + 1]) for h, c in states]
+                lg, _ = model.apply(params, jnp.full((1, 1), t0, jnp.int32),
+                                    st, train=False)
+                lp1 = jax.nn.log_softmax(lg[-1, 0])
+                totals[t0] = float(lp0[row, t0]) + np.asarray(lp1)
+            best.append(totals)
+
+        for row in range(2):
+            flat = best[row].reshape(-1)
+            order = np.argsort(-flat)
+            # top-1 sequence and score must match exactly
+            t0, t1 = divmod(int(order[0]), vocab)
+            assert (int(toks[0, row, 0]), int(toks[1, row, 0])) == (t0, t1)
+            np.testing.assert_allclose(float(scores[row, 0]), flat[order[0]],
+                                       atol=1e-5)
+            # all W scores match the W best brute-force totals, sorted
+            np.testing.assert_allclose(
+                np.asarray(scores[row]), flat[order[:vocab]], atol=1e-5)
+
+    def test_beam_search_sorted_and_in_range(self):
+        dec = Decoder(self.model)
+        toks, scores = dec.beam_search(self.params, self.prompt, steps=5, beams=4)
+        assert toks.shape == (5, B, 4) and scores.shape == (B, 4)
+        s = np.asarray(scores)
+        assert (np.diff(s, axis=1) <= 1e-6).all(), "beams not sorted"
+        assert int(toks.min()) >= 0 and int(toks.max()) < VOCAB
+        # length penalty only rescales scores, same sequences
+        toks2, scores2 = dec.beam_search(self.params, self.prompt, steps=5,
+                                         beams=4, length_penalty=0.7)
+        np.testing.assert_array_equal(toks, toks2)
+        np.testing.assert_allclose(np.asarray(scores2),
+                                   s / 5.0 ** 0.7, atol=1e-6)
+
     def test_tied_embeddings_and_group_cells(self):
         model = LMModel(
             vocab_size=VOCAB, hidden_size=HIDDEN, num_layers=2,

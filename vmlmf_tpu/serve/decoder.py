@@ -120,3 +120,78 @@ class Decoder:
             params, last_logits, states, steps=max_new_tokens, key=key,
             temperature=temperature, top_k=top_k)
         return tokens
+
+    # --------------------------------------------------------------- beams
+    def beam_search(self, params, prompt_ids, *, steps, beams,
+                    length_penalty=0.0):
+        """Fixed-length beam search. prompt_ids [T, B] ->
+        (tokens [steps, B, W] int32, scores [B, W] f32), beams sorted by
+        descending total log-probability (length-normalized when
+        ``length_penalty`` > 0: score / steps**penalty).
+
+        The whole search is ONE device-resident `lax.scan`: each step scores
+        [B, W*V] continuations, keeps the top W per batch row, gathers the
+        recurrent states of the surviving parent beams, and records
+        (token, parent) pairs; a reverse scan then walks the backpointers to
+        assemble the sequences.  Exact for the first step (all beams start
+        from the same prefix with beam 0 active), standard beam semantics
+        after."""
+        t_len, b = prompt_ids.shape
+        states = self.model.state0(b)
+        last_logits, states = self.prefill(params, prompt_ids, states)
+        return self._beam_jit(params, last_logits, tuple(states), steps, beams,
+                              float(length_penalty))
+
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+    def _beam_jit(self, params, last_logits, states, steps, beams, length_penalty):
+        preps = self._preps(params)
+        b, v = last_logits.shape
+        w = beams
+
+        def tile_beams(x):  # [B, ...] -> [B*W, ...] (beam-major within row)
+            return jnp.repeat(x, w, axis=0)
+
+        states = jax.tree_util.tree_map(tile_beams, states)
+        logp = jax.nn.log_softmax(last_logits)  # [B, V]
+        # step 0: pick the top-W first tokens per row (all from the prefix)
+        scores, tok0 = jax.lax.top_k(logp, w)   # [B, W]
+        tok = tok0.reshape(b * w).astype(jnp.int32)
+        logits, states = self._token_step(params, preps, tok, states)
+
+        def body(carry, _):
+            logits, states, scores = carry
+            lp = jax.nn.log_softmax(logits).reshape(b, w, v)
+            total = scores[:, :, None] + lp            # [B, W, V]
+            scores, flat = jax.lax.top_k(total.reshape(b, w * v), w)
+            parent = flat // v                          # [B, W] surviving beam
+            tok = (flat % v).astype(jnp.int32)          # [B, W] its next token
+            # gather surviving parents' recurrent states
+            gather_idx = (parent + jnp.arange(b)[:, None] * w).reshape(-1)
+
+            def reorder(x):
+                return x[gather_idx]
+
+            states = jax.tree_util.tree_map(reorder, states)
+            logits, states = self._token_step(
+                params, preps, tok.reshape(b * w), states)
+            return (logits, states, scores), (tok, parent)
+
+        (logits, states, scores), (toks, parents) = jax.lax.scan(
+            body, (logits, states, scores), None, length=steps - 1)
+
+        # backtrack: walk parents from the last step to the first
+        def back(beam_idx, step_rec):
+            tok, parent = step_rec
+            row = jnp.arange(b)[:, None]
+            return parent[row, beam_idx], tok[row, beam_idx]
+
+        last_idx = jnp.broadcast_to(jnp.arange(w), (b, w))
+        beam_idx, rev_tokens = jax.lax.scan(
+            back, last_idx, (toks, parents), reverse=True)
+        # beam_idx now points at each final beam's step-0 token
+        row = jnp.arange(b)[:, None]
+        first = tok0[row, beam_idx].astype(jnp.int32)[None]     # [1, B, W]
+        tokens = jnp.concatenate([first, rev_tokens], axis=0)   # [steps, B, W]
+        if length_penalty:
+            scores = scores / (float(steps) ** length_penalty)
+        return tokens, scores
