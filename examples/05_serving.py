@@ -32,6 +32,10 @@ tokens = dec.generate(params, prompt, max_new_tokens=32,
                       key=jax.random.PRNGKey(2), temperature=0.8, top_k=50)
 print("sampled:", tokens.shape, tokens[:4, 0])
 
+# beam search: one device-resident scan; beams sorted by total log-prob
+toks, scores = dec.beam_search(params, prompt, steps=16, beams=4)
+print("beam tokens:", toks.shape, "top scores:", scores[:, 0])
+
 # streaming-style loop: sampled blocks chained fully on device (an untrained
 # model decoded greedily collapses to a fixed point — sample for the demo)
 states = model.state0(BATCH)
