@@ -58,6 +58,29 @@ def bench(batch, iters=20):
     return tps
 
 
+def bench_beam(batch, beams=4, iters=10):
+    model = LMModel(
+        vocab_size=VOCAB, hidden_size=650, num_layers=2,
+        cell_factory=lambda n, h: VMLMFCell(n, h, w_rank=300, u_rank=300),
+        dropout_rate=0.0, winit=0.05)
+    params = model.init(jax.random.PRNGKey(0))
+    dec = Decoder(model)
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (PROMPT_T, batch), 0, VOCAB)
+    _, scores = dec.beam_search(params, prompt, steps=STEPS, beams=beams)
+    _ = float(jnp.sum(scores))  # drain compile + warm before the clock
+    t0 = time.perf_counter()
+    scores = None
+    for _ in range(iters):
+        _, scores = dec.beam_search(params, prompt, steps=STEPS, beams=beams)
+    _ = float(jnp.sum(scores))  # value read closes the chain
+    dt = time.perf_counter() - t0
+    sps = iters * STEPS * batch / dt
+    print(f"B={batch:4d}  beam W={beams}: {sps:,.0f} sequence-positions/sec/chip "
+          f"({dt/iters/STEPS*1e6:.1f} us/step incl prefill)")
+
+
 if __name__ == "__main__":
     for b in (1, 20, 128, 512):
         bench(b)
+    for b in (20, 128):
+        bench_beam(b)
