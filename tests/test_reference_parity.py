@@ -557,6 +557,40 @@ def test_legacy_gru_group2_parity(ref_gru):
     assert_close(h1j, t2n(h1), msg="group GRU h'")
 
 
+def test_legacy_gru_stack_forward_parity(ref_gru):
+    """Multi-layer recurrence: the legacy `myGRU` wrapper (2-layer stack,
+    zero-init per call, batch-first Python time loop, `compressed_gru.py:
+    1083-1147`) vs the framework's `RNN` over the same transplanted cells."""
+    from vmlmf_tpu.cells.gru import GRUCell
+    from vmlmf_tpu.nn.recurrence import RNN
+
+    n, h, b, t_len = 6, 8, 4, 9
+    wr, ur = 3, 2
+    torch.manual_seed(17)
+    wrapper = ref_gru.myGRU(n, hidden_layer_sizes=[h, h], batch_first=True,
+                            wRank=wr, uRank=ur)
+    x = torch.randn(b, t_len, n)
+    with torch.no_grad():
+        ys_ref, _ = wrapper(x)
+
+    def xplant(rc):
+        return jax.tree_util.tree_map(jnp.asarray, {
+            "w_fac": t2n(rc.W),
+            "w_proj": np.concatenate([t2n(rc.W1), t2n(rc.W2), t2n(rc.W3)], axis=1),
+            "u_fac": t2n(rc.U),
+            "u_proj_rz": np.concatenate([t2n(rc.U1), t2n(rc.U2)], axis=1),
+            "u_proj_n": t2n(rc.U3),
+            "b": np.concatenate([t2n(rc.bias_r)[0], t2n(rc.bias_gate)[0],
+                                 t2n(rc.bias_update)[0]]),
+        })
+
+    rnn = RNN((GRUCell(n, h, w_rank=wr, u_rank=ur),
+               GRUCell(h, h, w_rank=wr, u_rank=ur)))
+    params = [xplant(c) for c in wrapper.rnncells]
+    ys, _ = rnn(params, jnp.asarray(t2n(x)))  # batch-major like the wrapper
+    assert_close(ys, t2n(ys_ref), atol=5e-5, msg="GRU stack outputs")
+
+
 # ---------------------------------------------------------------------------
 # 6. Legacy dual-diagonal proto-VMLMF (`compressed_lstm.py:49-81`)
 # ---------------------------------------------------------------------------

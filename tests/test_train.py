@@ -249,6 +249,28 @@ class TestFusionEquivalence:
         for a, b in zip(jax.tree_util.tree_leaves(pf), jax.tree_util.tree_leaves(p2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
 
+    def test_lm_eval_chunks_match_per_chunk(self):
+        """Fused batch-eval (one dispatch per chunk stack, the serving-style
+        path bench.py measures) must equal sequential per-chunk eval."""
+        model = LMModel(vocab_size=40, hidden_size=16, num_layers=2,
+                        cell_factory=lambda n, h: VMLMFCell(n, h, w_rank=4, u_rank=4),
+                        dropout_rate=0.0, winit=0.05)
+        tr = LMTrainer(model, batch_size=4, seq_length=5)
+        params = tr.init()
+        xs = jax.random.randint(jax.random.PRNGKey(1), (3, 5, 4), 0, 40)
+        ys = jax.random.randint(jax.random.PRNGKey(2), (3, 5, 4), 0, 40)
+
+        losses_f, sf = tr._eval_chunks(params, model.state0(4), xs, ys)
+        s2 = model.state0(4)
+        losses_s = []
+        for i in range(3):
+            l, s2 = tr._eval_step(params, s2, xs[i], ys[i])
+            losses_s.append(float(l))
+        np.testing.assert_allclose(np.asarray(losses_f), losses_s, rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(sf), jax.tree_util.tree_leaves(s2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                       atol=1e-7)
+
 
 class TestProfilingUtils:
     def test_nan_checks_toggle(self):
