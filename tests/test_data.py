@@ -2,6 +2,7 @@
 mirroring SURVEY.md §4's test-plan note)."""
 
 import numpy as np
+import pytest
 
 from vmlmf_tpu.data.batching import batch_iterator, pad_last_batch
 from vmlmf_tpu.data.har import synthetic_har
@@ -13,7 +14,12 @@ from vmlmf_tpu.data.opp_preprocess import (
     process_file,
 )
 from vmlmf_tpu.data.ptb import minibatch, synthetic_corpus
-from vmlmf_tpu.data.sliding_window import sliding_window, window_series
+from vmlmf_tpu.data.sliding_window import (
+    norm_shape,
+    sliding_window,
+    sliding_window_nd,
+    window_series,
+)
 
 
 class TestSlidingWindow:
@@ -32,6 +38,44 @@ class TestSlidingWindow:
 
     def test_short_input(self):
         assert sliding_window(np.zeros((10, 3)), 24, 12).shape == (0, 24, 3)
+
+    def test_nd_matches_bruteforce_oracle(self):
+        """General per-dimension ws/ss windows vs an explicit loop oracle
+        (reference capability `sliding_window.py:57-110`)."""
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(13, 9)).astype(np.float32)
+        ws, ss = (4, 3), (2, 2)
+        got = sliding_window_nd(a, ws, ss, flatten=False)
+        n0 = (a.shape[0] - ws[0]) // ss[0] + 1
+        n1 = (a.shape[1] - ws[1]) // ss[1] + 1
+        assert got.shape == (n0, n1, *ws)
+        for i in range(n0):
+            for j in range(n1):
+                np.testing.assert_array_equal(
+                    got[i, j],
+                    a[i * ss[0]: i * ss[0] + ws[0], j * ss[1]: j * ss[1] + ws[1]])
+
+    def test_nd_flatten_squeezes_and_defaults(self):
+        a = np.arange(12, dtype=np.float32)
+        # 1-d input, int ws, default ss=ws (non-overlapping)
+        got = sliding_window_nd(a, 4)
+        assert got.shape == (3, 4)
+        np.testing.assert_array_equal(got[1], a[4:8])
+        # full-width window over dim 1 -> flatten squeezes the singleton axis
+        b = np.arange(20, dtype=np.float32).reshape(5, 4)
+        got = sliding_window_nd(b, (2, 4), (1, 4))
+        assert got.shape == (4, 2, 4)
+        np.testing.assert_array_equal(got[2], b[2:4])
+        assert norm_shape(5) == (5,)
+        assert norm_shape((2, 3)) == (2, 3)
+
+    def test_nd_validation(self):
+        with pytest.raises(ValueError):
+            sliding_window_nd(np.zeros((4, 4)), (5, 2))
+        with pytest.raises(ValueError):
+            sliding_window_nd(np.zeros((4, 4)), (2, 2), (1, 1, 1))
+        with pytest.raises(TypeError):
+            norm_shape("abc")
 
 
 class TestOppPreprocess:

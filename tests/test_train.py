@@ -96,6 +96,40 @@ class TestLMTrainer:
         assert hist[0]["val_ppl"] < ppl0
         assert hist[1]["val_ppl"] < ppl0
 
+    def test_tied_embeddings_no_dead_param(self):
+        """tie_embeddings=True must not carry a dead [H, V] projection copy:
+        param count drops by exactly V*H and gradients flow to the embedding
+        table through the softmax head."""
+        from vmlmf_tpu.utils.analytics import count_params
+
+        v, h = 64, 32
+
+        def build(tie):
+            return LMModel(vocab_size=v, hidden_size=h, num_layers=1,
+                           cell_factory=lambda n, hh: LSTMCell(n, hh),
+                           dropout_rate=0.0, winit=0.05, tie_embeddings=tie)
+
+        untied = build(False)
+        tied = build(True)
+        p_u = untied.init(jax.random.PRNGKey(0))
+        p_t = tied.init(jax.random.PRNGKey(0))
+        assert "w" not in p_t["fc"]
+        assert count_params(p_u) - count_params(p_t) == v * h
+
+        ids = jnp.zeros((4, 2), jnp.int32).at[1].set(3)
+        tgt = jnp.ones((4, 2), jnp.int32)
+        states = tied.state0(2)
+
+        def loss_fn(p):
+            logits, _ = tied.apply(p, ids, states, train=False)
+            return lm_loss(logits, tgt)
+
+        grads = jax.grad(loss_fn)(p_t)
+        # head-path gradient: rows of embed.w the inputs never touch still get
+        # gradient through the (derived) projection weight
+        untouched = np.asarray(grads["embed"]["w"])[10:]
+        assert np.abs(untouched).max() > 0
+
     def test_lr_decay_schedule(self):
         """lr decays by /factor per epoch past factor_epoch (`lm_test.py:194-195`)."""
         ids = synthetic_corpus(vocab_size=16, length=600, seed=1)

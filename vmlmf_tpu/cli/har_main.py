@@ -91,6 +91,12 @@ def main(argv=None):
             syn_kw["num_classes"] = 5  # null + {stand, walk, sit, lie}
     x_tr, y_tr, x_te, y_te = load_or_synthesize(cfg.data, folder, seed=cfg.seed,
                                                 **syn_kw)
+    if x_tr.shape[-1] != cfg.input_size:
+        raise SystemExit(
+            f"dataset folder provides {x_tr.shape[-1]}-channel windows but the "
+            f"model expects {cfg.input_size} (--data {cfg.data} --channels "
+            f"{cfg.channels}); the folder was preprocessed with a different "
+            f"--channels — re-run vmlmf_tpu.data.opp_preprocess to match")
 
     model = cfg.build_model()
     trainer = HARTrainer(model, learning_rate=cfg.lr,

@@ -75,10 +75,14 @@ def synthetic_har(kind="opp", n_train=600, n_test=200, seed=0, channels=None,
     space (5 for the locomotion task)."""
     if kind.lower() == "opp":
         t, f, c = OPP_WINDOW, OPP_NUM_FEATURES, OPP_NUM_CLASSES
+        f = channels or f
+        c = num_classes or c
     else:
+        if channels is not None or num_classes is not None:
+            raise ValueError(
+                "channels/num_classes overrides are OPP legacy-variant knobs "
+                "(113-ch / locomotion); UCI shapes are fixed at 128x9, 6 classes")
         t, f, c = UCI_WINDOW, UCI_NUM_FEATURES, UCI_NUM_CLASSES
-    f = channels or f
-    c = num_classes or c
     rng = np.random.default_rng(seed)
     protos = rng.normal(size=(c, t, f)).astype(np.float32)
     # smooth prototypes over time so the recurrence has structure to track

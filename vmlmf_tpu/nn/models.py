@@ -200,7 +200,9 @@ class LMModel:
         # whole-model uniform(-winit, winit) reset, incl. biases (`vmlmf_lm.py:407-410`)
         params = reinit_uniform(params, k4, self.winit)
         if self.tie_embeddings:
-            params["fc"]["w"] = params["embed"]["w"].T
+            # the projection weight IS the embedding table: don't materialize
+            # a dead [H, V] copy — `_logits` derives it, grads flow to embed.w
+            del params["fc"]["w"]
         return params
 
     def state0(self, batch, dtype=jnp.float32):

@@ -76,6 +76,28 @@ def _data_axis_index(spec):
     raise ValueError(f"no 'data' axis in {spec}")
 
 
+def _check_process_contiguous(sharding, shape, axis, sl):
+    """`local_batch_slice` hands process p the contiguous global rows
+    [p·per, (p+1)·per); that pairing with
+    `jax.make_array_from_process_local_data` is only correct when this
+    process's addressable shards cover exactly those rows (true for meshes
+    built by `make_mesh` over `jax.devices()`, where device order is
+    process-major).  For arbitrary meshes/shardings the rows would silently
+    land on the wrong processes — check exactly and fail loudly instead."""
+    covered = set()
+    n = shape[axis]
+    for idx in sharding.addressable_devices_indices_map(tuple(shape)).values():
+        s = idx[axis]
+        covered.update(range(s.start or 0, n if s.stop is None else s.stop))
+    if covered != set(range(sl.start, sl.stop)):
+        raise ValueError(
+            f"process {jax.process_index()}'s addressable shards cover rows "
+            f"{sorted(covered)[:4]}..{sorted(covered)[-1]} but local_batch_slice "
+            f"assigns [{sl.start}, {sl.stop}); the mesh's 'data' axis is not "
+            f"process-contiguous. Build the mesh with make_mesh(...) over "
+            f"jax.devices(), or pass local=True with a true per-host loader.")
+
+
 def make_global_batch(mesh_or_sharding, x, spec=None, *, local=False):
     """Commit a host-produced batch to the mesh (the per-host input pipeline,
     SURVEY.md §2.3 item 2).
@@ -106,7 +128,9 @@ def make_global_batch(mesh_or_sharding, x, spec=None, *, local=False):
                 f"global batch dim {n} is not divisible by process_count="
                 f"{jax.process_count()}; rows would be silently dropped — "
                 f"pad or resize the batch")
+        sl = local_batch_slice(n)
+        _check_process_contiguous(sharding, x.shape, axis, sl)
         idx = [slice(None)] * x.ndim
-        idx[axis] = local_batch_slice(n)
+        idx[axis] = sl
         x = x[tuple(idx)]
     return jax.make_array_from_process_local_data(sharding, x)

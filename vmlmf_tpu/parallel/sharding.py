@@ -47,7 +47,8 @@ def lm_param_sharding(params, mesh):
     """LM: vocab-shard embed table and softmax projection on 'model'."""
     shardings = _tree_fill(params, replicated(mesh))
     shardings["embed"]["w"] = NamedSharding(mesh, P("model", None))  # [V, H]
-    shardings["fc"]["w"] = NamedSharding(mesh, P(None, "model"))     # [H, V]
+    if "w" in params["fc"]:  # absent under tie_embeddings (derived from embed)
+        shardings["fc"]["w"] = NamedSharding(mesh, P(None, "model"))  # [H, V]
     shardings["fc"]["b"] = NamedSharding(mesh, P("model"))           # [V]
     return shardings
 

@@ -136,7 +136,11 @@ class Decoder:
         assemble the sequences.  Exact for the first step (all beams start
         from the same prefix with beam 0 active), standard beam semantics
         after."""
-        t_len, b = prompt_ids.shape
+        if beams > self.model.vocab_size:
+            raise ValueError(
+                f"beams={beams} exceeds vocab_size={self.model.vocab_size}; "
+                f"top_k cannot select more continuations than the vocabulary")
+        b = prompt_ids.shape[1]
         states = self.model.state0(b)
         last_logits, states = self.prefill(params, prompt_ids, states)
         return self._beam_jit(params, last_logits, tuple(states), steps, beams,
