@@ -75,16 +75,9 @@ def build_naive_step(model, opt):
 
 def detect_chip():
     """Best-effort chip generation for the roofline peaks table."""
-    try:
-        kind = jax.devices()[0].device_kind.lower()
-    except Exception:
-        return "v5e"
-    for key in ("v5p", "v5e", "v4"):
-        if key in kind or key.replace("v5", "v5 ") in kind:
-            return key
-    if "v5 lite" in kind or "v5lite" in kind:
-        return "v5e"
-    return "v5e"
+    from vmlmf_tpu.utils.analytics import detect_chip as _detect
+
+    return _detect()
 
 
 def har_train_hbm_bytes(batch, t, feats, hidden, u_rank, n_params):

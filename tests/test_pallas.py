@@ -142,6 +142,60 @@ class TestFusedModels:
         np.testing.assert_allclose(ys_p, ys_x, atol=1e-6)
 
 
+class TestVmemBudgets:
+    """Chip-aware VMEM budget table (`ops.vmem`) and its effect on the tile
+    picker — the kernels must scale to v4/v5p parts without recalibration."""
+
+    def test_table_and_calibrated_v5e_values(self):
+        from vmlmf_tpu.ops.vmem import vmem_budgets
+
+        for chip in ("v4", "v5e", "v5p"):
+            b = vmem_budgets(chip)
+            assert b["budget"] < b["limit"] < b["compiler_limit"]
+        # the empirically calibrated round-2 v5e constants, reproduced
+        v5e = vmem_budgets("v5e")
+        assert v5e["budget"] == 80 << 20
+        assert v5e["limit"] == 110 << 20
+        assert v5e["compiler_limit"] == 116 << 20
+
+    def test_env_override_shrinks_tiles(self, monkeypatch):
+        from vmlmf_tpu.ops.pallas_scan import _pick_tiles
+        from vmlmf_tpu.ops.vmem import chip_vmem_bytes
+
+        t, bp, fourhp = 24, 512, 1024
+        full = _pick_tiles(t, bp, fourhp, live=10)
+        monkeypatch.setenv("VMLMF_VMEM_BYTES", str(48 << 20))
+        assert chip_vmem_bytes() == 48 << 20
+        small = _pick_tiles(t, bp, fourhp, live=10)
+        assert small[0] * small[1] < full[0] * full[1]
+
+    def test_kernel_correct_under_tiny_budget(self, monkeypatch):
+        """Numerics are tile-invariant: the fused kernel under a starved
+        budget (many small grid steps) matches the XLA scan."""
+        cell = VMLMFCell(16, 40, w_rank=8, u_rank=8)
+        params = cell.init(KEY)
+        prep = cell.prepare(params)
+        xs = jax.random.normal(jax.random.PRNGKey(1), (6, 24, 16))
+        s0 = (jnp.zeros((24, 40)), jnp.zeros((24, 40)))
+        ys_x, _ = scan_layer(cell, prep, xs, s0, backend="xla")
+        monkeypatch.setenv("VMLMF_VMEM_BYTES", str(8 << 20))
+        ys_p, _ = scan_layer(cell, prep, xs, s0, backend="pallas")
+        np.testing.assert_allclose(ys_p, ys_x, atol=2e-5, rtol=2e-5)
+
+    def test_stack_fits_consults_chip_budget(self, monkeypatch):
+        from vmlmf_tpu.nn.recurrence import RNN
+        from vmlmf_tpu.ops.pallas_pipeline import stack_fits, stack_units
+
+        cells = tuple(VMLMFCell(64, 64, w_rank=16, u_rank=16) for _ in range(2))
+        rnn = RNN(cells)
+        params = rnn.init(KEY)
+        preps = [c.prepare(p) for c, p in zip(cells, params)]
+        layers = stack_units(cells, preps)
+        assert stack_fits(layers)
+        monkeypatch.setenv("VMLMF_VMEM_BYTES", str(2 << 20))
+        assert not stack_fits(layers)
+
+
 class TestFusedGRU:
     """Fused GRU scan (ops/pallas_gru) vs the XLA scan: forward + gradients."""
 

@@ -100,14 +100,17 @@ def stack_fits(layers):
     Deliberately conservative criterion — VMEM-resident weights twice (bwd:
     operand + f32 grad accumulator; grads are always f32, so precision does
     not enter) plus the minimal backward stream tile (time-block 1, 8 batch
-    rows — independent of T/B) must fit the stream budget — calibrated
-    against measurement on v5e (tunneled compiler reports no allocation
-    detail): the 2x650 w300/u300 stack compiles and runs, the 4x650 stack
-    does not compile even at the smallest tile.  The stack kernel's whole
-    design (all layers' factors VMEM-resident) bounds its profitable depth;
-    past that bound the per-layer fused kernel is the right tool anyway."""
+    rows — independent of T/B) must fit the chip's stream budget
+    (`ops.vmem.vmem_budgets`, env-overridable) — calibrated against
+    measurement on v5e (tunneled compiler reports no allocation detail): the
+    2x650 w300/u300 stack compiles and runs, the 4x650 stack does not
+    compile even at the smallest tile.  The stack kernel's whole design (all
+    layers' factors VMEM-resident) bounds its profitable depth; past that
+    bound the grouped/per-layer fused kernels are the right tool anyway."""
     if layers is None:
         return False
+    from vmlmf_tpu.ops.vmem import vmem_budgets
+
     h = layers[0]["u"].shape[0]
     hp = _round_up(h, 128)
 
@@ -123,7 +126,7 @@ def stack_fits(layers):
         return total
 
     min_stream = 18 * len(layers) * 8 * 4 * hp * 4
-    return 2 * wbytes(4) + min_stream <= 80 * 1024 * 1024
+    return 2 * wbytes(4) + min_stream <= vmem_budgets()["budget"]
 
 
 # ---------------------------------------------------------------------------

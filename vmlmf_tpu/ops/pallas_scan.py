@@ -69,8 +69,7 @@ def _pick_time_block(t, cap=8):
     return 1
 
 
-def _pick_tiles(t, bp, fourhp, *, live, budget=80 * 1024 * 1024, fixed=0,
-                limit=110 * 1024 * 1024):
+def _pick_tiles(t, bp, fourhp, *, live, budget=None, fixed=0, limit=None):
     """Jointly choose (sblk timesteps, bt batch rows) per grid step.
 
     The static inner loop is unrolled by the compiler, which keeps ~`live`
@@ -79,13 +78,20 @@ def _pick_tiles(t, bp, fourhp, *, live, budget=80 * 1024 * 1024, fixed=0,
     VMEM residency that does NOT scale with the tile (whole-array weight
     operands, weight gradient outputs/accumulators in multi-layer kernels);
     streamed temporaries + fixed must additionally fit under ``limit``
-    (~chip VMEM minus headroom) — calibrated on v5e where the 2x650-w300
-    stack compiles (stream 71M + weights 35M) and the 4x650 stack does not.
-    Among configurations that fit, minimize the number of grid steps
-    (bp/bt)·(t/sblk), i.e. maximize sblk·bt; tie-break toward larger bt
-    (batch rows amortize matmul issue latency better than unrolled steps
+    (~chip VMEM minus headroom).  Defaults come from the chip-aware table
+    (`ops.vmem.vmem_budgets`, env-overridable) — calibrated on v5e where the
+    2x650-w300 stack compiles (stream 71M + weights 35M) and the 4x650 stack
+    does not.  Among configurations that fit, minimize the number of grid
+    steps (bp/bt)·(t/sblk), i.e. maximize sblk·bt; tie-break toward larger
+    bt (batch rows amortize matmul issue latency better than unrolled steps
     do).  Returns None when even the minimal tile (sblk=1, bt=8) overflows —
     the caller must fall back."""
+    if budget is None or limit is None:
+        from vmlmf_tpu.ops.vmem import vmem_budgets
+
+        b = vmem_budgets()
+        budget = b["budget"] if budget is None else budget
+        limit = b["limit"] if limit is None else limit
 
     def fits(s, b):
         stream = live * s * b * fourhp * 4
@@ -109,9 +115,12 @@ def _pick_tiles(t, bp, fourhp, *, live, budget=80 * 1024 * 1024, fixed=0,
 
 
 def _compiler_params():
+    from vmlmf_tpu.ops.vmem import vmem_budgets
+
     return pltpu.CompilerParams(
         dimension_semantics=("arbitrary", "arbitrary"),
-        vmem_limit_bytes=116 << 20,  # v5e VMEM is 128M; leave headroom
+        # chip VMEM minus headroom (128M - 12M = 116M on v4/v5e/v5p)
+        vmem_limit_bytes=vmem_budgets()["compiler_limit"],
     )
 
 

@@ -109,6 +109,21 @@ TPU_PEAKS = {
 }
 
 
+def detect_chip():
+    """Best-effort chip generation key into `TPU_PEAKS` (and the VMEM table,
+    `ops.vmem`).  Unknown/non-TPU backends report the conservative v5e."""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return "v5e"
+    for key in ("v5p", "v5e", "v4"):
+        if key in kind or key.replace("v5", "v5 ") in kind:
+            return key
+    if "v5 lite" in kind or "v5lite" in kind:
+        return "v5e"
+    return "v5e"
+
+
 def roofline_report(flops, hbm_bytes, seconds, *, chip="v5e", dtype="f32") -> dict:
     """Achieved-vs-roofline for a measured region (SURVEY.md §5: keep the
     analytic FLOP model and report achieved fraction of the roofline).
