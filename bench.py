@@ -4,10 +4,11 @@ Headline config = the reference demo protocol (`script/demo.sh`, `main.py`):
 OPP shapes [batch 81, T 24, 77 sensors], one VMLMF layer of 180 hidden,
 w_rank 8 / u_rank 6, Adam, full train step (forward + BPTT + update).
 
-``value`` is the framework's production path: hoisted input projection +
-fused whole-scan Pallas recurrence (`--backend pallas`; factors + carry
-VMEM-resident across the scan) + epoch-fused stepping (batches scanned
-on-device in one dispatch — `HARTrainer.fuse_batches`).
+``value`` is the framework's production path: the x-fused whole-scan Pallas
+recurrence (`--backend pallas`; the input projection runs INSIDE the kernel —
+x streams at F=77 wide instead of gi at 4h=720, all weights VMEM-resident
+across the scan, gi/dgi never touch HBM) + epoch-fused stepping (batches
+scanned on-device in one dispatch — `HARTrainer.fuse_batches`).
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
 baseline is a *reference-faithful execution strategy* measured on the same
@@ -81,25 +82,29 @@ def detect_chip():
 
 
 def har_train_hbm_bytes(batch, t, feats, hidden, u_rank, n_params):
-    """HBM traffic estimate for one fused-Pallas HAR train step (per batch),
-    fp32.  Terms (see ops/pallas_scan.py residual layout):
-      xs read (fwd + bwd input-proj grad)           2 * B*T*F
-      gi [T,B,4h] write (inp) + read (fwd kernel) + read (bwd kernel)
-      gates residual [T,B,4h] write fwd + read bwd
-      h@U residual  [T,B,r_u] write fwd + read bwd
-      ys [T,B,h] write fwd + read (head + bwd)      3x
-      params/grads/opt-state (Adam m,v)             ~10 accesses of P
+    """HBM traffic model of one x-fused Pallas HAR train step (per batch),
+    fp32.  The x-fused kernel (`ops/pallas_scan.py` xin mode) streams the
+    RAW input x instead of the hoisted gi [T,B,4h] and never materializes
+    gi/dgi in HBM; the primal returns c_last (no dcs zeros-cotangent
+    stream).  Kernel streams are counted at the PADDED widths the chip
+    actually moves (lane multiples of 128); XLA-side glue at logical widths:
+      fwd kernel:  x read; ys, cs, gates, hu writes
+      bwd kernel:  gates, hu, x, ys (h_prev), cs (c_prev + c_t), dys reads;
+                   dx write
+      XLA glue:    x read (pad relayout), ys[-1] head read + dys write,
+                   params/grads/opt-state (Adam m, v) ~ 10 accesses of P
     """
     f32 = 4
+    pad = lambda n: -(-n // 128) * 128
+    hp, fourhp, fp, rup = pad(hidden), 4 * pad(hidden), pad(feats), pad(u_rank)
     act = batch * t
-    return f32 * (
-        2 * act * feats
-        + 3 * act * 4 * hidden
-        + 2 * act * 4 * hidden
-        + 2 * act * u_rank
-        + 3 * act * hidden
-        + 10 * n_params
+    kernel_words = act * (
+        fp + hp + hp + fourhp + rup                # fwd
+        + fourhp + rup + fp + hp + 2 * hp + hp     # bwd reads
+        + fp                                       # dx write
     )
+    xla_words = act * (feats + 2 * hidden) + 10 * n_params
+    return f32 * (kernel_words + xla_words)
 
 
 def bench_har():

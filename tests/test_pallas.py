@@ -142,6 +142,88 @@ class TestFusedModels:
         np.testing.assert_allclose(ys_p, ys_x, atol=1e-6)
 
 
+class TestXinModes:
+    """The pallas backend's two input modes must agree: x-fused (stream x,
+    project inside the kernel — the default) vs hoisted gi (stream the
+    precomputed [T,B,4h]).  VMLMF_PALLAS_XIN toggles them."""
+
+    @pytest.mark.parametrize("cell", [
+        VMLMFCell(77, 180, w_rank=8, u_rank=6),
+        LSTMCell(16, 40),
+        DualDiagonalLSTMCell(16, 40, w_rank=8, u_rank=8),
+    ], ids=["vmlmf", "lstm_dense", "dualdiag"])
+    def test_xin_matches_hoisted_gi(self, cell, monkeypatch):
+        params = cell.init(KEY)
+        xs = jax.random.normal(jax.random.PRNGKey(1), (6, 5, cell.input_size))
+        s0 = (jnp.zeros((5, cell.hidden_size)), jnp.zeros((5, cell.hidden_size)))
+        w_out = jax.random.normal(jax.random.PRNGKey(3), (6, 5, cell.hidden_size))
+
+        def loss(params, xs):
+            prep = cell.prepare(params)
+            ys, (h, c) = scan_layer(cell, prep, xs, s0, backend="pallas")
+            return jnp.sum(ys * w_out) + jnp.sum(jnp.tanh(h)) + 0.5 * jnp.sum(c * c)
+
+        def run():
+            val, grads = jax.value_and_grad(loss, argnums=(0, 1))(params, xs)
+            return val, grads
+
+        monkeypatch.setenv("VMLMF_PALLAS_XIN", "1")
+        val_x, g_x = run()
+        monkeypatch.setenv("VMLMF_PALLAS_XIN", "0")
+        val_g, g_g = run()
+        np.testing.assert_allclose(val_x, val_g, atol=2e-5, rtol=2e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(g_x),
+                        jax.tree_util.tree_leaves(g_g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3e-4, rtol=3e-4)
+
+    def test_xin_reverse_scan(self, monkeypatch):
+        cell = VMLMFCell(9, 32, w_rank=4, u_rank=4)
+        params = cell.init(KEY)
+        prep = cell.prepare(params)
+        xs = jax.random.normal(jax.random.PRNGKey(1), (7, 4, 9))
+        s0 = (jnp.zeros((4, 32)), jnp.zeros((4, 32)))
+        ys_x, _ = scan_layer(cell, prep, xs, s0, backend="xla", reverse=True)
+        monkeypatch.setenv("VMLMF_PALLAS_XIN", "1")
+        ys_p, _ = scan_layer(cell, prep, xs, s0, backend="pallas", reverse=True)
+        np.testing.assert_allclose(ys_p, ys_x, atol=2e-5, rtol=2e-5)
+
+    def test_bf16_residuals_close(self, monkeypatch):
+        """VMLMF_PALLAS_RESIDUALS=bf16 stores the backward-only gate/rank
+        residual streams in bf16: gradients must match f32 to mixed-precision
+        tolerance (the primal is untouched — bit-identical)."""
+        cell = VMLMFCell(16, 40, w_rank=8, u_rank=8)
+        params = cell.init(KEY)
+        xs = jax.random.normal(jax.random.PRNGKey(1), (6, 5, 16))
+        s0 = (jnp.zeros((5, 40)), jnp.zeros((5, 40)))
+        w_out = jax.random.normal(jax.random.PRNGKey(3), (6, 5, 40))
+
+        def loss(params, xs):
+            prep = cell.prepare(params)
+            ys, _ = scan_layer(cell, prep, xs, s0, backend="pallas")
+            return jnp.sum(ys * w_out)
+
+        val_f, g_f = jax.value_and_grad(loss)(params, xs)
+        monkeypatch.setenv("VMLMF_PALLAS_RESIDUALS", "bf16")
+        val_b, g_b = jax.value_and_grad(loss)(params, xs)
+        np.testing.assert_allclose(val_b, val_f, rtol=1e-6)  # primal exact
+        for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                        jax.tree_util.tree_leaves(g_b)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=2e-2, rtol=2e-2)
+
+    def test_xin_wide_input(self):
+        """F > h exercises the kernel-side pad_features truncation."""
+        cell = LSTMCell(200, 32, w_rank=8, u_rank=8)
+        params = cell.init(KEY)
+        prep = cell.prepare(params)
+        xs = jax.random.normal(jax.random.PRNGKey(1), (5, 3, 200))
+        s0 = (jnp.zeros((3, 32)), jnp.zeros((3, 32)))
+        ys_x, _ = scan_layer(cell, prep, xs, s0, backend="xla")
+        ys_p, _ = scan_layer(cell, prep, xs, s0, backend="pallas")
+        np.testing.assert_allclose(ys_p, ys_x, atol=2e-5, rtol=2e-5)
+
+
 class TestVmemBudgets:
     """Chip-aware VMEM budget table (`ops.vmem`) and its effect on the tile
     picker — the kernels must scale to v4/v5p parts without recalibration."""

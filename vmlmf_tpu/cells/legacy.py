@@ -101,6 +101,13 @@ class DualDiagonalLSTMCell(Cell):
             return prep["u"], None, dvec
         return prep["u_fac"], prep["u_proj"], dvec
 
+    def fused_x_inputs(self, prep):
+        """(ux, vx, xdvec, bias) for the x-fused Pallas scan: the input-side
+        diagonal is ADDED on top of the product (proto-VMLMF)."""
+        if self.w_rank is None:
+            return prep["w"], None, prep["diag_w"], prep["b"]
+        return prep["w_fac"], prep["w_proj"], prep["diag_w"], prep["b"]
+
 
 @dataclasses.dataclass(frozen=True)
 class DiagonalLSTMCell(Cell):

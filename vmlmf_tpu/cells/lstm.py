@@ -65,12 +65,18 @@ class LSTMCell(Cell):
 
     def fused_rec_inputs(self, prep):
         """(u, v, dvec) for the fused Pallas scan (dvec unused -> zeros)."""
-        import jax.numpy as jnp
-
         zeros = jnp.zeros((4 * self.hidden_size,), jnp.float32)
         if self.u_rank is None:
             return prep["u"], None, zeros
         return prep["u_fac"], prep["u_proj"], zeros
+
+    def fused_x_inputs(self, prep):
+        """(ux, vx, xdvec, bias) for the x-fused Pallas scan (xdvec unused
+        -> zeros; the LSTM input path has no elementwise diagonal term)."""
+        zeros = jnp.zeros((4, self.hidden_size), jnp.float32)
+        if self.w_rank is None:
+            return prep["w"], None, zeros, prep["b"]
+        return prep["w_fac"], prep["w_proj"], zeros, prep["b"]
 
     def pipeline_units(self, prep):
         """Factor spec for the wavefront stack scan (ops.pipeline).

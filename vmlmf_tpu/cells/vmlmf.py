@@ -26,12 +26,34 @@ TPU redesign vs the reference implementation:
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
 
 from vmlmf_tpu.cells.base import Cell, lstm_update, normal_init, pad_features
 from vmlmf_tpu.ops.lowrank import gate_diag_rowsum, lowrank_proj
+
+
+def _dense_rec(hidden_size):
+    """Whether the fused kernel should run the recurrence through a
+    materialized dense [h, 4h] matrix (one MXU op per step) instead of the
+    factored h@U, (hU)@V pair (two dependent ops).
+
+    The dense product is weight-only (built once per train step, gradients
+    flow through the materialization); it halves the serial MXU chain and
+    drops the [T, B, r] rank-activation residual, at the cost of more MACs
+    per step.  Measured on v5e: NO win anywhere — HAR demo h=180 on the
+    x-fused kernel: 669k dense vs 679k factored seq/s (the two dependent
+    rank-r matmuls pipeline well enough that the chain is not the
+    bottleneck); PTB h=650 w300: 324k vs 366k wps (throughput-bound, the
+    factored chain's ~1.7x fewer MACs dominate).  Kept as an experiment
+    knob: VMLMF_PALLAS_DENSE_REC=1; default factored.
+    """
+    env = os.environ.get("VMLMF_PALLAS_DENSE_REC")
+    if env is not None:
+        return env == "1"
+    return False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,9 +109,20 @@ class VMLMFCell(Cell):
 
     def fused_rec_inputs(self, prep):
         """(u, v, dvec) for the fused Pallas scan: recurrence is
-        h @ (u_h v_hᵀ) + h ⊙ (d_h - dcorr_h) per gate."""
+        h @ (u_h v_hᵀ) + h ⊙ (d_h - dcorr_h) per gate — factored, or
+        materialized dense for small cells (see `_dense_rec`)."""
         dvec = (prep["d_h"][None, :] - prep["dcorr_h"]).reshape(-1)
+        if _dense_rec(self.hidden_size):
+            return prep["u_h"] @ prep["v_h"].T, None, dvec
         return prep["u_h"], prep["v_h"].T, dvec
+
+    def fused_x_inputs(self, prep):
+        """(ux, vx, xdvec, bias) for the x-fused Pallas scan (the in-kernel
+        equivalent of `inp`): gi = (x@u_x)@v_xᵀ + tile4(pad(x)) ⊙ (pad(d_x)
+        − dcorr_x) + (b_x + b_h)."""
+        h = self.hidden_size
+        xdvec = pad_features(prep["d_x"], h)[None, :] - prep["dcorr_x"]
+        return prep["u_x"], prep["v_x"].T, xdvec, prep["b_x"] + prep["b_h"]
 
     def pipeline_units(self, prep):
         """Factor/epilogue spec for the wavefront stack scan (ops.pipeline).

@@ -35,36 +35,69 @@ def _use_interpret():
     return jax.default_backend() != "tpu"
 
 
+def _use_xin(cell):
+    """Whether the pallas backend should fuse the input projection INTO the
+    scan kernel (stream x, x-side weights VMEM-resident) instead of hoisting
+    it (stream the precomputed gi [T, B, 4h]).
+
+    The x-fused kernel removes ~5 HBM passes of [T, B, 4h] per train step
+    (gi write + 2 reads, dgi write + read) in exchange for 2 passes of
+    [T, B, F] and per-time-block projection matmuls inside the kernel; it
+    wins whenever the scan is HBM-bound and F < 4h (always true for these
+    cells).  Measured on v5e: HAR demo (F=77, 4h=720) 2.0x; PTB flagship
+    (F=650, 4h=2600) +6%.  Env override: VMLMF_PALLAS_XIN=0|1.
+    """
+    env = os.environ.get("VMLMF_PALLAS_XIN")
+    if env is not None:
+        return env == "1"
+    return True
+
+
 def scan_layer(cell, prep, xs, state0, *, reverse=False, unroll=1, backend="xla",
                precision=None):
     """Run one cell over time-major ``xs [T, B, n]`` -> (ys [T, B, h], state).
 
     backend="pallas" routes LSTM-family cells through the fused whole-scan
-    kernel (`vmlmf_tpu.ops.pallas_scan`); cells without a fused mapping (and
-    non-LSTM states) fall back to the XLA scan transparently.
+    kernel (`vmlmf_tpu.ops.pallas_scan`), with the input projection fused
+    into the kernel when the cell provides `fused_x_inputs` (see `_use_xin`);
+    cells without a fused mapping (and non-LSTM states) fall back to the XLA
+    scan transparently.
     precision="bf16" runs the fused kernel's recurrent matmuls in single-pass
     bf16 with f32 accumulation (fastest MXU path); default "f32" matches the
     XLA scan bit-for-bit.  Env override: VMLMF_PALLAS_PRECISION.
     """
-    gi = cell.inp(prep, xs)  # [T, B, G*h] — hoisted, time-parallel
-
     if backend == "pallas" and _pallas_available(cell, state0):
-        from vmlmf_tpu.ops.pallas_scan import lstm_scan_fused
+        from vmlmf_tpu.ops.pallas_scan import (
+            lstm_scan_fused,
+            lstm_scan_fused_xin,
+        )
 
         fri = cell.fused_rec_inputs(prep)
         if fri is not None:
             u, v, dvec = fri
-            if reverse:
-                gi = jnp.flip(gi, axis=0)
             h0, c0 = state0
             prec = precision or os.environ.get("VMLMF_PALLAS_PRECISION", "f32")
-            ys, c_last = lstm_scan_fused(gi, u, v, dvec, h0, c0,
-                                         interpret=_use_interpret(),
-                                         precision=prec)
+            fxi = None
+            if _use_xin(cell):
+                fxi = getattr(cell, "fused_x_inputs", lambda p: None)(prep)
+            if fxi is not None:
+                src = jnp.flip(xs, axis=0) if reverse else xs
+                ys, c_last = lstm_scan_fused_xin(
+                    src, *fxi, u, v, dvec, h0, c0,
+                    interpret=_use_interpret(), precision=prec)
+            else:
+                gi = cell.inp(prep, xs)  # hoisted, time-parallel
+                if reverse:
+                    gi = jnp.flip(gi, axis=0)
+                ys, c_last = lstm_scan_fused(gi, u, v, dvec, h0, c0,
+                                             interpret=_use_interpret(),
+                                             precision=prec)
             h_last = ys[-1]
             if reverse:
                 ys = jnp.flip(ys, axis=0)
             return ys, (h_last, c_last)
+
+    gi = cell.inp(prep, xs)  # [T, B, G*h] — hoisted, time-parallel
 
     if (backend == "pallas" and hasattr(cell, "fused_rec_inputs_gru")
             and not isinstance(state0, tuple)):

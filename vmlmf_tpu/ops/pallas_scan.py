@@ -40,11 +40,25 @@ per-timestep Python dispatch at
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _residual_dtype():
+    """Storage dtype of the backward-only residual streams (saved gates and
+    rank activations h@U — NOT the primal ys/cs).  VMLMF_PALLAS_RESIDUALS=bf16
+    halves the largest HBM stream of the train step ([T,B,4h] gates, written
+    fwd + read bwd) at the cost of ~2^-9 relative rounding on the gate values
+    entering the backward nonlinearity derivatives — standard mixed-precision
+    noise, but not bit-exact vs the XLA scan, so f32 stays the default.  Read
+    at trace time; fwd and bwd of one step trace together, so they always
+    agree."""
+    return (jnp.bfloat16 if os.environ.get("VMLMF_PALLAS_RESIDUALS") == "bf16"
+            else jnp.float32)
 
 
 def _round_up(x, m):
@@ -128,32 +142,86 @@ def _compiler_params():
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(gi_ref, u_ref, v_ref, dvec_ref, h0_ref, c0_ref,
-                *refs, hp, lowrank, bf16, sblk, residuals):
+def _fit_width(x2, width):
+    """Zero-extend or truncate the trailing dim of a 2-d value to `width`
+    (the kernel-side `pad_features`: the x-side elementwise term is defined
+    over min(F, h) features)."""
+    f = x2.shape[-1]
+    if f == width:
+        return x2
+    if f > width:
+        return x2[:, :width]
+    return jnp.concatenate(
+        [x2, jnp.zeros((x2.shape[0], width - f), x2.dtype)], axis=-1)
+
+
+def _fwd_kernel(*refs, hp, fp, lowrank, xin, x_lowrank, bf16, sblk,
+                residuals):
     """Grid (batch_blocks, T // sblk); the minor grid dim walks time, each
     grid step running `sblk` recurrence steps (static inner loop) with the
     (h, c) carry in scratch.
 
+    Two input modes (static `xin` flag):
+      * gi mode — the hoisted input projection streams in as gi [sblk,bt,4h];
+      * x  mode — the RAW input x [sblk,bt,F] streams in and the projection
+        runs here: one batched ([sblk·bt, F] @ Ux [@ Vx]) MXU pair per grid
+        step plus the elementwise x-diagonal term and bias, with all x-side
+        weights VMEM-resident.  This swaps the dominant [T,B,4h] gi stream
+        (3 HBM passes per train step) for an F-wide x stream — the
+        HBM-traffic fix for narrow-input models (VERDICT r2 item 1).
+
     With ``residuals`` (the autodiff forward), also saves the
     post-nonlinearity gates (and, on the low-rank path, the rank-space
-    activations h@U) so the backward kernel needs zero recompute matmuls and
-    never re-reads gi.  The no-grad primal (inference/eval) skips those
+    activations h@U) so the backward kernel needs zero recompute matmuls on
+    the recurrent path.  The no-grad primal (inference/eval) skips those
     outputs entirely — no extra HBM write traffic."""
-    if residuals:
-        if lowrank:
-            ys_ref, cs_ref, gates_ref, hu_ref, h_s, c_s = refs
-        else:
-            ys_ref, cs_ref, gates_ref, h_s, c_s = refs
-            hu_ref = None
+    it = iter(refs)
+    if xin:
+        x_ref = next(it)
+        ux_ref = next(it)
+        vx_ref = next(it) if x_lowrank else None
+        xdvec_ref = next(it)
+        bias_ref = next(it)
     else:
-        ys_ref, cs_ref, h_s, c_s = refs
-        gates_ref = hu_ref = None
+        gi_ref = next(it)
+    u_ref = next(it)
+    v_ref = next(it)
+    dvec_ref = next(it)
+    h0_ref = next(it)
+    c0_ref = next(it)
+    ys_ref = next(it)
+    cs_ref = next(it)  # residuals: full [sblk,bt,hp] stream; else [bt,hp] c_last
+    gates_ref = hu_ref = None
+    if residuals:
+        gates_ref = next(it)
+        if lowrank:
+            hu_ref = next(it)
+    h_s = next(it)
+    c_s = next(it)
+    assert next(it, None) is None
+
     k = pl.program_id(1)
 
     @pl.when(k == 0)
     def _():
         h_s[:] = h0_ref[:]
         c_s[:] = c0_ref[:]
+
+    if xin:
+        # batched in-kernel input projection for the whole time block
+        xblk = x_ref[:]                                   # [sblk, bt, fp]
+        bt = xblk.shape[1]
+        x2 = xblk.reshape(sblk * bt, fp)
+        x2_mm = x2.astype(jnp.bfloat16) if bf16 else x2   # weights pre-cast
+        if x_lowrank:
+            xu2 = jnp.dot(x2_mm, ux_ref[:], preferred_element_type=jnp.float32)
+            xu2_mm = xu2.astype(jnp.bfloat16) if bf16 else xu2
+            gix = jnp.dot(xu2_mm, vx_ref[:], preferred_element_type=jnp.float32)
+        else:
+            gix = jnp.dot(x2_mm, ux_ref[:], preferred_element_type=jnp.float32)
+        xpad = _fit_width(x2, hp)
+        gix = gix + jnp.concatenate([xpad] * 4, -1) * xdvec_ref[:] + bias_ref[:]
+        gi_blk = gix.reshape(sblk, bt, 4 * hp)
 
     h = h_s[:]
     c = c_s[:]
@@ -162,74 +230,115 @@ def _fwd_kernel(gi_ref, u_ref, v_ref, dvec_ref, h0_ref, c0_ref,
         if lowrank:
             hu = jnp.dot(h_mm, u_ref[:], preferred_element_type=jnp.float32)
             if hu_ref is not None:
-                hu_ref[st] = hu
+                hu_ref[st] = hu.astype(hu_ref.dtype)
             hu = hu.astype(jnp.bfloat16) if bf16 else hu
             gr = jnp.dot(hu, v_ref[:], preferred_element_type=jnp.float32)
         else:
             gr = jnp.dot(h_mm, u_ref[:], preferred_element_type=jnp.float32)
         htile = jnp.concatenate([h, h, h, h], axis=-1)
-        pre = gi_ref[st] + gr + htile * dvec_ref[:]
+        gi_t = gi_blk[st] if xin else gi_ref[st]
+        pre = gi_t + gr + htile * dvec_ref[:]
 
         i = jax.nn.sigmoid(pre[:, :hp])
         f = jax.nn.sigmoid(pre[:, hp:2 * hp])
         g = jnp.tanh(pre[:, 2 * hp:3 * hp])
         o = jax.nn.sigmoid(pre[:, 3 * hp:])
         if gates_ref is not None:
-            gates_ref[st] = jnp.concatenate([i, f, g, o], axis=-1)
+            gates_ref[st] = jnp.concatenate(
+                [i, f, g, o], axis=-1).astype(gates_ref.dtype)
         c = f * c + i * g
         h = o * jnp.tanh(c)
         ys_ref[st] = h
-        cs_ref[st] = c
+        if residuals:
+            cs_ref[st] = c
 
     h_s[:] = h
     c_s[:] = c
+    if not residuals:
+        # no-grad primal only needs the final cell state — one row, written
+        # at the last grid step (no [T,B,h] cs HBM stream at inference)
+        @pl.when(k == pl.num_programs(1) - 1)
+        def _():
+            cs_ref[:] = c_s[:]
 
 
-def _fwd_call(gi, u, v, dvec, h0, c0, *, lowrank, interpret, bf16,
+def _weights_nbytes(*arrs):
+    return sum(a.size * a.dtype.itemsize for a in arrs if a is not None)
+
+
+def _fwd_call(stream, xw, u, v, dvec, h0, c0, *, lowrank, interpret, bf16,
               residuals):
-    t, bp, fourhp = gi.shape
+    """stream: gi [T,Bp,4hp] (xw None) or x [T,Bp,Fp] with
+    xw = (ux, vx|None, xdvec, bias) padded x-side weights."""
+    xin = xw is not None
+    if xin:
+        t, bp, fp = stream.shape
+        ux, vx, xdvec, bias = xw
+        x_lowrank = vx is not None
+        fourhp = xdvec.shape[-1]
+    else:
+        t, bp, fourhp = stream.shape
+        fp = fourhp
+        ux = vx = xdvec = bias = None
+        x_lowrank = False
     hp = fourhp // 4
-    sblk, bt = _pick_tiles(t, bp, fourhp, live=10 if residuals else 8) or (1, 8)
-    nb = bp // bt if bp % bt == 0 else -(-bp // bt)
-    gi = _pad_to(gi, (t, nb * bt, fourhp))
-    h0 = _pad_to(h0, (nb * bt, hp))
-    c0 = _pad_to(c0, (nb * bt, hp))
     if bf16:
         u = u.astype(jnp.bfloat16)
         v = v.astype(jnp.bfloat16)
+        if xin:
+            ux = ux.astype(jnp.bfloat16)
+            vx = None if vx is None else vx.astype(jnp.bfloat16)
+    live = (10 if residuals else 8) + (3 if xin else 0)
+    fixed = _weights_nbytes(u, v, dvec, ux, vx, xdvec, bias)
+    sblk, bt = _pick_tiles(t, bp, fourhp, live=live, fixed=fixed) or (1, 8)
+    nb = bp // bt if bp % bt == 0 else -(-bp // bt)
+    stream = _pad_to(stream, (t, nb * bt, fp))
+    h0 = _pad_to(h0, (nb * bt, hp))
+    c0 = _pad_to(c0, (nb * bt, hp))
 
     step = lambda b, tt: (tt, b, 0)
     row = lambda b, tt: (b, 0)
     const = lambda b, tt: (0, 0)
-    out_specs = [
-        pl.BlockSpec((sblk, bt, hp), step, memory_space=pltpu.VMEM),
-        pl.BlockSpec((sblk, bt, hp), step, memory_space=pltpu.VMEM),
+
+    def blk(shape, idx):
+        return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
+
+    operands = [stream]
+    in_specs = [blk((sblk, bt, fp), step)]
+    if xin:
+        for w in (ux, vx, xdvec, bias):
+            if w is not None:
+                operands.append(w)
+                in_specs.append(blk(w.shape, const))
+    operands += [u, v, dvec, h0, c0]
+    in_specs += [
+        blk(u.shape, const),
+        blk(v.shape, const),
+        blk(dvec.shape, const),
+        blk((bt, hp), row),
+        blk((bt, hp), row),
     ]
-    out_shape = [
-        jax.ShapeDtypeStruct((t, nb * bt, hp), jnp.float32),
-        jax.ShapeDtypeStruct((t, nb * bt, hp), jnp.float32),
-    ]
-    if residuals:
-        out_specs.append(
-            pl.BlockSpec((sblk, bt, fourhp), step, memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((t, nb * bt, fourhp), jnp.float32))
+    out_specs = [blk((sblk, bt, hp), step)]
+    out_shape = [jax.ShapeDtypeStruct((t, nb * bt, hp), jnp.float32)]
+    if residuals:  # full cs stream (backward residual)
+        res_dt = _residual_dtype()
+        out_specs.append(blk((sblk, bt, hp), step))
+        out_shape.append(jax.ShapeDtypeStruct((t, nb * bt, hp), jnp.float32))
+        out_specs.append(blk((sblk, bt, fourhp), step))
+        out_shape.append(jax.ShapeDtypeStruct((t, nb * bt, fourhp), res_dt))
         if lowrank:
             rp = u.shape[1]
-            out_specs.append(
-                pl.BlockSpec((sblk, bt, rp), step, memory_space=pltpu.VMEM))
-            out_shape.append(jax.ShapeDtypeStruct((t, nb * bt, rp), jnp.float32))
+            out_specs.append(blk((sblk, bt, rp), step))
+            out_shape.append(jax.ShapeDtypeStruct((t, nb * bt, rp), res_dt))
+    else:  # c_last row only
+        out_specs.append(blk((bt, hp), row))
+        out_shape.append(jax.ShapeDtypeStruct((nb * bt, hp), jnp.float32))
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, hp=hp, lowrank=lowrank, bf16=bf16,
+        functools.partial(_fwd_kernel, hp=hp, fp=fp, lowrank=lowrank,
+                          xin=xin, x_lowrank=x_lowrank, bf16=bf16,
                           sblk=sblk, residuals=residuals),
         grid=(nb, t // sblk),
-        in_specs=[
-            pl.BlockSpec((sblk, bt, fourhp), step, memory_space=pltpu.VMEM),
-            pl.BlockSpec(u.shape, const, memory_space=pltpu.VMEM),
-            pl.BlockSpec(v.shape, const, memory_space=pltpu.VMEM),
-            pl.BlockSpec(dvec.shape, const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, hp), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, hp), row, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -238,35 +347,68 @@ def _fwd_call(gi, u, v, dvec, h0, c0, *, lowrank, interpret, bf16,
         ],
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(gi, u, v, dvec, h0, c0)
-    # ys, cs [, gates (post-nonlinearity) [, hu (rank activations)]]
-    return tuple(o[:, :bp] for o in out)
+    )(*operands)
+    # residuals: ys, cs, gates (post-nonlinearity) [, hu (rank activations)]
+    # no-grad:   ys, c_last
+    return tuple(o[:, :bp] if o.ndim == 3 else o[:bp] for o in out)
 
 
 # ---------------------------------------------------------------------------
 # backward kernel (reverse grid)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(gates_ref, *refs, hp, lowrank, bf16, sblk):
+def _bwd_kernel(*refs, hp, fp, lowrank, xin, x_lowrank, bf16, sblk):
     """Grid (batch_blocks, T // sblk); grid step k of batch block b processes
     the time block [T - (k+1)·sblk, T - k·sblk) in reverse inside a static
-    loop.  dU/dV/ddvec accumulate in scratch across ALL grid steps.
+    loop.  dU/dV/ddvec (and, in x mode, dUx/dVx/dxdvec/dbias) accumulate in
+    scratch across ALL grid steps.
 
-    Zero recompute: the forward kernel saved the post-nonlinearity gates and
-    the rank-space activations h@U, so this kernel streams them instead of
-    re-deriving them (saves two dependent MXU ops per step and never touches
-    gi at all — dgi is just dpre)."""
-    if lowrank:
-        (hu_ref, u_ref, v_ref, dvec_ref, hprev_ref, cprev_ref, cs_ref,
-         dys_ref, dcs_ref,
-         dgi_ref, du_ref, dv_ref, ddvec_ref, dh0_ref, dc0_ref,
-         dh_s, dc_s, du_s, dv_s, ddvec_s) = refs
-    else:
-        (u_ref, v_ref, dvec_ref, hprev_ref, cprev_ref, cs_ref,
-         dys_ref, dcs_ref,
-         dgi_ref, du_ref, dv_ref, ddvec_ref, dh0_ref, dc0_ref,
-         dh_s, dc_s, du_s, dv_s, ddvec_s) = refs
-        hu_ref = None
+    Zero recompute on the recurrent path: the forward kernel saved the
+    post-nonlinearity gates and the rank-space activations h@U, so this
+    kernel streams them instead of re-deriving them.  In gi mode it never
+    touches gi at all (dgi is just dpre); in x mode the per-block dpre stack
+    feeds batched x-side gradient matmuls (dx, dUx, dVx — xu is recomputed
+    from the streamed x, one cheap batched matmul, instead of a [T,B,rx]
+    residual round-trip)."""
+    it = iter(refs)
+    gates_ref = next(it)
+    hu_ref = next(it) if lowrank else None
+    if xin:
+        x_ref = next(it)
+        ux_ref = next(it)
+        vx_ref = next(it) if x_lowrank else None
+        xdvec_ref = next(it)
+    u_ref = next(it)
+    v_ref = next(it)
+    dvec_ref = next(it)
+    hprev_ref = next(it)
+    cprev_ref = next(it)
+    cs_ref = next(it)
+    dys_ref = next(it)
+    dclast_ref = next(it)  # [bt, hp] — c's only primal output is c_last
+    dstream_ref = next(it)  # dgi (gi mode) or dx (x mode)
+    du_ref = next(it)
+    dv_ref = next(it)
+    ddvec_ref = next(it)
+    if xin:
+        dux_ref = next(it)
+        dvx_ref = next(it) if x_lowrank else None
+        dxdvec_ref = next(it)
+        dbias_ref = next(it)
+    dh0_ref = next(it)
+    dc0_ref = next(it)
+    dh_s = next(it)
+    dc_s = next(it)
+    du_s = next(it)
+    dv_s = next(it)
+    ddvec_s = next(it)
+    if xin:
+        dux_s = next(it)
+        dvx_s = next(it) if x_lowrank else None
+        dxdvec_s = next(it)
+        dbias_s = next(it)
+    assert next(it, None) is None
+
     b = pl.program_id(0)
     k = pl.program_id(1)
     nb = pl.num_programs(0)
@@ -277,15 +419,22 @@ def _bwd_kernel(gates_ref, *refs, hp, lowrank, bf16, sblk):
         du_s[:] = jnp.zeros_like(du_s)
         dv_s[:] = jnp.zeros_like(dv_s)
         ddvec_s[:] = jnp.zeros_like(ddvec_s)
+        if xin:
+            dux_s[:] = jnp.zeros_like(dux_s)
+            if dvx_s is not None:
+                dvx_s[:] = jnp.zeros_like(dvx_s)
+            dxdvec_s[:] = jnp.zeros_like(dxdvec_s)
+            dbias_s[:] = jnp.zeros_like(dbias_s)
 
     @pl.when(k == 0)
     def _():
         dh_s[:] = jnp.zeros_like(dh_s)
-        dc_s[:] = jnp.zeros_like(dc_s)
+        dc_s[:] = dclast_ref[:]  # dc_last injected at the final timestep
 
     dh_carry = dh_s[:]
     dc_carry = dc_s[:]
     du_acc = dv_acc = ddvec_acc = None
+    dpre_blk = [None] * sblk
 
     for st in range(sblk - 1, -1, -1):
         h_prev = hprev_ref[st]
@@ -293,7 +442,7 @@ def _bwd_kernel(gates_ref, *refs, hp, lowrank, bf16, sblk):
         c_t = cs_ref[st]
 
         h_mm = h_prev.astype(jnp.bfloat16) if bf16 else h_prev
-        gates = gates_ref[st]
+        gates = gates_ref[st].astype(jnp.float32)  # residual may be bf16
         i = gates[:, :hp]
         f = gates[:, hp:2 * hp]
         g = gates[:, 2 * hp:3 * hp]
@@ -303,7 +452,7 @@ def _bwd_kernel(gates_ref, *refs, hp, lowrank, bf16, sblk):
         dh = dh_carry + dys_ref[st]
         tanh_c = jnp.tanh(c_t)
         do = dh * tanh_c
-        dc = dc_carry + dcs_ref[st] + dh * o * (1.0 - tanh_c * tanh_c)
+        dc = dc_carry + dh * o * (1.0 - tanh_c * tanh_c)
         di = dc * g
         df = dc * c_prev
         dg = dc * i
@@ -316,7 +465,10 @@ def _bwd_kernel(gates_ref, *refs, hp, lowrank, bf16, sblk):
             do * o * (1.0 - o),
         ], axis=-1)
 
-        dgi_ref[st] = dpre
+        if xin:
+            dpre_blk[st] = dpre
+        else:
+            dstream_ref[st] = dpre
 
         # dvec path: dh_prev += sum_g dpre_g * dvec_g ; ddvec += sum_b dpre * h
         dv_term = dpre * dvec_ref[:]
@@ -333,7 +485,7 @@ def _bwd_kernel(gates_ref, *refs, hp, lowrank, bf16, sblk):
             dh_prev = dh_prev + jnp.dot(dhu_mm, u_ref[:].T,
                                         preferred_element_type=jnp.float32)
             du_t = jnp.dot(h_mm.T, dhu_mm, preferred_element_type=jnp.float32)
-            hu = hu_ref[st]
+            hu = hu_ref[st].astype(jnp.float32)  # residual may be bf16
             hu_mm = hu.astype(jnp.bfloat16) if bf16 else hu
             dv_t = jnp.dot(hu_mm.T, dpre_mm, preferred_element_type=jnp.float32)
             dv_acc = dv_t if dv_acc is None else dv_acc + dv_t
@@ -344,6 +496,42 @@ def _bwd_kernel(gates_ref, *refs, hp, lowrank, bf16, sblk):
         du_acc = du_t if du_acc is None else du_acc + du_t
 
         dh_carry = dh_prev
+
+    if xin:
+        # batched x-side gradients for the whole time block
+        bt = dpre_blk[0].shape[0]
+        dpre2 = jnp.stack(dpre_blk).reshape(sblk * bt, 4 * hp)
+        x2 = x_ref[:].reshape(sblk * bt, fp)
+        dpre2_mm = dpre2.astype(jnp.bfloat16) if bf16 else dpre2
+        x2_mm = x2.astype(jnp.bfloat16) if bf16 else x2
+        if x_lowrank:
+            dxu = jnp.dot(dpre2_mm, vx_ref[:].T,
+                          preferred_element_type=jnp.float32)
+            dxu_mm = dxu.astype(jnp.bfloat16) if bf16 else dxu
+            dx2 = jnp.dot(dxu_mm, ux_ref[:].T,
+                          preferred_element_type=jnp.float32)
+            xu2 = jnp.dot(x2_mm, ux_ref[:], preferred_element_type=jnp.float32)
+            xu2_mm = xu2.astype(jnp.bfloat16) if bf16 else xu2
+            dux_s[:] += jnp.dot(x2_mm.T, dxu_mm,
+                                preferred_element_type=jnp.float32)
+            dvx_s[:] += jnp.dot(xu2_mm.T, dpre2_mm,
+                                preferred_element_type=jnp.float32)
+        else:
+            dx2 = jnp.dot(dpre2_mm, ux_ref[:].T,
+                          preferred_element_type=jnp.float32)
+            dux_s[:] += jnp.dot(x2_mm.T, dpre2_mm,
+                                preferred_element_type=jnp.float32)
+        # elementwise x-diagonal term: dx += sum_g dpre_g * xdvec_g (over the
+        # min(F, h) features the term is defined on)
+        dxe = dpre2 * xdvec_ref[:]
+        dxe = (dxe[:, :hp] + dxe[:, hp:2 * hp]
+               + dxe[:, 2 * hp:3 * hp] + dxe[:, 3 * hp:])
+        dx2 = dx2 + _fit_width(dxe, fp)
+        xpad = _fit_width(x2, hp)
+        dxdvec_s[:] += jnp.sum(dpre2 * jnp.concatenate([xpad] * 4, -1),
+                               axis=0, keepdims=True)
+        dbias_s[:] += jnp.sum(dpre2, axis=0, keepdims=True)
+        dstream_ref[:] = dx2.reshape(sblk, bt, fp)
 
     du_s[:] += du_acc
     if dv_acc is not None:
@@ -362,13 +550,39 @@ def _bwd_kernel(gates_ref, *refs, hp, lowrank, bf16, sblk):
         du_ref[:] = du_s[:]
         dv_ref[:] = dv_s[:]
         ddvec_ref[:] = ddvec_s[:]
+        if xin:
+            dux_ref[:] = dux_s[:]
+            if dvx_ref is not None:
+                dvx_ref[:] = dvx_s[:]
+            dxdvec_ref[:] = dxdvec_s[:]
+            dbias_ref[:] = dbias_s[:]
 
 
-def _bwd_call(gates, hu, u, v, dvec, hprev, cprev, cs, dys, dcs,
+def _bwd_call(gates, hu, xres, u, v, dvec, hprev, cprev, cs, dys, dclast,
               *, lowrank, interpret, bf16):
+    """xres: None (gi mode — dgi streams out) or (x, ux, vx|None, xdvec)
+    padded x-side residuals/weights (x mode — dx streams out and the x-side
+    weight gradients come back as whole arrays)."""
     t, bp, fourhp = gates.shape
     hp = fourhp // 4
-    sblk, bt = _pick_tiles(t, bp, fourhp, live=16) or (1, 8)
+    xin = xres is not None
+    if xin:
+        x, ux, vx, xdvec = xres
+        x_lowrank = vx is not None
+        fp = x.shape[-1]
+    else:
+        x = ux = vx = xdvec = None
+        x_lowrank = False
+        fp = fourhp
+    if bf16:
+        u = u.astype(jnp.bfloat16)
+        v = v.astype(jnp.bfloat16)
+        if xin:
+            ux = ux.astype(jnp.bfloat16)
+            vx = None if vx is None else vx.astype(jnp.bfloat16)
+    live = 16 + (4 if xin else 0)
+    fixed = 2 * _weights_nbytes(u, v, dvec, ux, vx, xdvec)  # operand + grad acc
+    sblk, bt = _pick_tiles(t, bp, fourhp, live=live, fixed=fixed) or (1, 8)
     nb = bp // bt if bp % bt == 0 else -(-bp // bt)
     bpad = nb * bt
     gates = _pad_to(gates, (t, bpad, fourhp))
@@ -376,69 +590,99 @@ def _bwd_call(gates, hu, u, v, dvec, hprev, cprev, cs, dys, dcs,
     cprev = _pad_to(cprev, (t, bpad, hp))
     cs = _pad_to(cs, (t, bpad, hp))
     dys = _pad_to(dys, (t, bpad, hp))
-    dcs = _pad_to(dcs, (t, bpad, hp))
-    if bf16:
-        u = u.astype(jnp.bfloat16)
-        v = v.astype(jnp.bfloat16)
+    dclast = _pad_to(dclast, (bpad, hp))
 
     ntb = t // sblk
     rev = lambda b, k: (ntb - 1 - k, b, 0)
     row = lambda b, k: (b, 0)
     const = lambda b, k: (0, 0)
-    in_specs = [
-        pl.BlockSpec((sblk, bt, fourhp), rev, memory_space=pltpu.VMEM),  # gates
-    ]
+
+    def blk(shape, idx):
+        return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
+
+    in_specs = [blk((sblk, bt, fourhp), rev)]                        # gates
     operands = [gates]
     if lowrank:
         rp = hu.shape[-1]
         hu = _pad_to(hu, (t, bpad, rp))
-        in_specs.append(
-            pl.BlockSpec((sblk, bt, rp), rev, memory_space=pltpu.VMEM))  # h@U
+        in_specs.append(blk((sblk, bt, rp), rev))                    # h@U
         operands.append(hu)
+    if xin:
+        x = _pad_to(x, (t, bpad, fp))
+        in_specs.append(blk((sblk, bt, fp), rev))                    # x
+        operands.append(x)
+        for w in (ux, vx, xdvec):
+            if w is not None:
+                in_specs.append(blk(w.shape, const))
+                operands.append(w)
     in_specs += [
-        pl.BlockSpec(u.shape, const, memory_space=pltpu.VMEM),
-        pl.BlockSpec(v.shape, const, memory_space=pltpu.VMEM),
-        pl.BlockSpec(dvec.shape, const, memory_space=pltpu.VMEM),
-        pl.BlockSpec((sblk, bt, hp), rev, memory_space=pltpu.VMEM),      # h_{t-1}
-        pl.BlockSpec((sblk, bt, hp), rev, memory_space=pltpu.VMEM),      # c_{t-1}
-        pl.BlockSpec((sblk, bt, hp), rev, memory_space=pltpu.VMEM),      # c_t
-        pl.BlockSpec((sblk, bt, hp), rev, memory_space=pltpu.VMEM),      # dys_t
-        pl.BlockSpec((sblk, bt, hp), rev, memory_space=pltpu.VMEM),      # dcs_t
+        blk(u.shape, const),
+        blk(v.shape, const),
+        blk(dvec.shape, const),
+        blk((sblk, bt, hp), rev),      # h_{t-1}
+        blk((sblk, bt, hp), rev),      # c_{t-1}
+        blk((sblk, bt, hp), rev),      # c_t
+        blk((sblk, bt, hp), rev),      # dys_t
+        blk((bt, hp), row),            # dc_last
     ]
-    operands += [u, v, dvec, hprev, cprev, cs, dys, dcs]
+    operands += [u, v, dvec, hprev, cprev, cs, dys, dclast]
+
+    f32 = jnp.float32
+    out_specs = [
+        blk((sblk, bt, fp), rev),      # dgi or dx
+        blk(u.shape, const),
+        blk(v.shape, const),
+        blk(dvec.shape, const),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((t, bpad, fp), f32),
+        jax.ShapeDtypeStruct(u.shape, f32),
+        jax.ShapeDtypeStruct(v.shape, f32),
+        jax.ShapeDtypeStruct(dvec.shape, f32),
+    ]
+    scratch = [
+        pltpu.VMEM((bt, hp), f32),      # dh carry
+        pltpu.VMEM((bt, hp), f32),      # dc carry
+        pltpu.VMEM(u.shape, f32),       # dU accumulator
+        pltpu.VMEM(v.shape, f32),       # dV accumulator
+        pltpu.VMEM(dvec.shape, f32),    # ddvec accumulator
+    ]
+    if xin:
+        xg_shapes = [ux.shape]                       # dux
+        if x_lowrank:
+            xg_shapes.append(vx.shape)               # dvx
+        xg_shapes += [xdvec.shape, xdvec.shape]      # dxdvec, dbias ([1, 4hp])
+        for s in xg_shapes:
+            out_specs.append(blk(s, const))
+            out_shape.append(jax.ShapeDtypeStruct(s, f32))
+            scratch.append(pltpu.VMEM(s, f32))
+    out_specs += [blk((bt, hp), row), blk((bt, hp), row)]
+    out_shape += [jax.ShapeDtypeStruct((bpad, hp), f32),
+                  jax.ShapeDtypeStruct((bpad, hp), f32)]
+
     out = pl.pallas_call(
-        functools.partial(_bwd_kernel, hp=hp, lowrank=lowrank, bf16=bf16,
-                          sblk=sblk),
+        functools.partial(_bwd_kernel, hp=hp, fp=fp, lowrank=lowrank,
+                          xin=xin, x_lowrank=x_lowrank, bf16=bf16, sblk=sblk),
         grid=(nb, ntb),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((sblk, bt, fourhp), rev, memory_space=pltpu.VMEM),  # dgi
-            pl.BlockSpec(u.shape, const, memory_space=pltpu.VMEM),
-            pl.BlockSpec(v.shape, const, memory_space=pltpu.VMEM),
-            pl.BlockSpec(dvec.shape, const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, hp), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, hp), row, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((t, bpad, fourhp), jnp.float32),
-            jax.ShapeDtypeStruct(u.shape, jnp.float32),
-            jax.ShapeDtypeStruct(v.shape, jnp.float32),
-            jax.ShapeDtypeStruct(dvec.shape, jnp.float32),
-            jax.ShapeDtypeStruct((bpad, hp), jnp.float32),
-            jax.ShapeDtypeStruct((bpad, hp), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((bt, hp), jnp.float32),      # dh carry
-            pltpu.VMEM((bt, hp), jnp.float32),      # dc carry
-            pltpu.VMEM(u.shape, jnp.float32),       # dU accumulator
-            pltpu.VMEM(v.shape, jnp.float32),       # dV accumulator
-            pltpu.VMEM(dvec.shape, jnp.float32),    # ddvec accumulator
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(*operands)
-    dgi, du, dv, ddvec, dh0, dc0 = out
-    return dgi[:, :bp], du, dv, ddvec, dh0[:bp], dc0[:bp]
+    it = iter(out)
+    dstream = next(it)[:, :bp]
+    du, dv, ddvec = next(it), next(it), next(it)
+    if xin:
+        dux = next(it)
+        dvx = next(it) if x_lowrank else None
+        dxdvec, dbias = next(it), next(it)
+    else:
+        dux = dvx = dxdvec = dbias = None
+    dh0, dc0 = next(it)[:bp], next(it)[:bp]
+    assert next(it, None) is None
+    return dstream, du, dv, ddvec, (dux, dvx, dxdvec, dbias), dh0, dc0
 
 
 # ---------------------------------------------------------------------------
@@ -447,34 +691,76 @@ def _bwd_call(gates, hu, u, v, dvec, hprev, cprev, cs, dys, dcs,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def _scan_core(gi, u, v, dvec, h0, c0, lowrank, interpret, bf16):
-    # no-grad primal: residual-free forward (no gates/hu HBM traffic)
-    ys, cs = _fwd_call(gi, u, v, dvec, h0, c0, lowrank=lowrank,
-                       interpret=interpret, bf16=bf16, residuals=False)
-    return ys, cs
+    """-> (ys [T,B,h], c_last [B,h]).  The full cs stream is a backward-only
+    residual, never a primal output — so the no-grad primal writes only the
+    c_last row (no [T,B,h] cs HBM stream at inference) and the backward
+    takes a [B,h] dc_last row instead of streaming a zeros dcs cotangent."""
+    ys, c_last = _fwd_call(gi, None, u, v, dvec, h0, c0, lowrank=lowrank,
+                           interpret=interpret, bf16=bf16, residuals=False)
+    return ys, c_last
 
 
 def _scan_core_fwd(gi, u, v, dvec, h0, c0, lowrank, interpret, bf16):
-    out = _fwd_call(gi, u, v, dvec, h0, c0, lowrank=lowrank,
+    out = _fwd_call(gi, None, u, v, dvec, h0, c0, lowrank=lowrank,
                     interpret=interpret, bf16=bf16, residuals=True)
     ys, cs, gates = out[:3]
     hu = out[3] if lowrank else None
     # gi is NOT a residual: dgi == dpre and the backward kernel reconstructs
     # everything from the saved gates / rank activations.
-    return (ys, cs), (u, v, dvec, h0, c0, ys, cs, gates, hu)
+    return (ys, cs[-1]), (u, v, dvec, h0, c0, ys, cs, gates, hu)
 
 
 def _scan_core_bwd(lowrank, interpret, bf16, res, cts):
-    dys, dcs = cts
+    dys, dclast = cts
     u, v, dvec, h0, c0, ys, cs, gates, hu = res
     hprev = jnp.concatenate([h0[None], ys[:-1]], axis=0)
     cprev = jnp.concatenate([c0[None], cs[:-1]], axis=0)
-    dgi, du, dv, ddvec, dh0, dc0 = _bwd_call(
-        gates, hu, u, v, dvec, hprev, cprev, cs, dys, dcs,
+    dgi, du, dv, ddvec, _, dh0, dc0 = _bwd_call(
+        gates, hu, None, u, v, dvec, hprev, cprev, cs, dys, dclast,
         lowrank=lowrank, interpret=interpret, bf16=bf16)
     return dgi, du, dv, ddvec, dh0, dc0
 
 
 _scan_core.defvjp(_scan_core_fwd, _scan_core_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
+def _scan_core_xin(x, ux, vx, xdvec, bias, u, v, dvec, h0, c0,
+                   lowrank, x_lowrank, interpret, bf16):
+    vxx = vx if x_lowrank else None
+    ys, c_last = _fwd_call(x, (ux, vxx, xdvec, bias), u, v, dvec, h0, c0,
+                           lowrank=lowrank, interpret=interpret, bf16=bf16,
+                           residuals=False)
+    return ys, c_last
+
+
+def _scan_core_xin_fwd(x, ux, vx, xdvec, bias, u, v, dvec, h0, c0,
+                       lowrank, x_lowrank, interpret, bf16):
+    vxx = vx if x_lowrank else None
+    out = _fwd_call(x, (ux, vxx, xdvec, bias), u, v, dvec, h0, c0,
+                    lowrank=lowrank, interpret=interpret, bf16=bf16,
+                    residuals=True)
+    ys, cs, gates = out[:3]
+    hu = out[3] if lowrank else None
+    return ((ys, cs[-1]),
+            (x, ux, vx, xdvec, u, v, dvec, h0, c0, ys, cs, gates, hu))
+
+
+def _scan_core_xin_bwd(lowrank, x_lowrank, interpret, bf16, res, cts):
+    dys, dclast = cts
+    x, ux, vx, xdvec, u, v, dvec, h0, c0, ys, cs, gates, hu = res
+    hprev = jnp.concatenate([h0[None], ys[:-1]], axis=0)
+    cprev = jnp.concatenate([c0[None], cs[:-1]], axis=0)
+    vxx = vx if x_lowrank else None
+    dx, du, dv, ddvec, (dux, dvx, dxdvec, dbias), dh0, dc0 = _bwd_call(
+        gates, hu, (x, ux, vxx, xdvec), u, v, dvec, hprev, cprev, cs,
+        dys, dclast, lowrank=lowrank, interpret=interpret, bf16=bf16)
+    if dvx is None:
+        dvx = jnp.zeros_like(vx)
+    return dx, dux, dvx, dxdvec, dbias, du, dv, ddvec, dh0, dc0
+
+
+_scan_core_xin.defvjp(_scan_core_xin_fwd, _scan_core_xin_bwd)
 
 
 def lstm_scan_fused(gi, u, v, dvec, h0, c0, *, interpret=False,
@@ -510,8 +796,73 @@ def lstm_scan_fused(gi, u, v, dvec, h0, c0, *, interpret=False,
         vp = jnp.zeros((8, 128), jnp.float32)  # unused placeholder
 
     bf16 = precision == "bf16"
-    ys, cs = _scan_core(gi4, up, vp, dvec4, h0p, c0p, lowrank, interpret, bf16)
-    return ys[:, :b, :h], cs[-1, :b, :h]
+    ys, c_last = _scan_core(gi4, up, vp, dvec4, h0p, c0p, lowrank, interpret,
+                            bf16)
+    return ys[:, :b, :h], c_last[:b, :h]
+
+
+def lstm_scan_fused_xin(xs, ux, vx, xdvec, bias, u, v, dvec, h0, c0, *,
+                        interpret=False, precision="f32"):
+    """Fused LSTM scan with the input projection INSIDE the kernel.
+
+    xs: [T, B, F] raw inputs.  x side (all VMEM-resident):
+      ux: [F, rx] with vx: [rx, 4h] (low-rank) or ux: [F, 4h] with vx=None
+        (dense) — gate order i,f,g,o;
+      xdvec: [4, h] per-gate elementwise coefficient applied to x over the
+        first min(F, h) features (VMLMF: pad(d_x) − dcorr_x; zeros if unused);
+      bias: [4h] time-invariant gate bias (b_x + b_h).
+    h side as `lstm_scan_fused`: u [h, r] / v [r, 4h] (or dense u, v=None),
+    dvec [4h]; h0, c0 [B, h].  Returns (ys [T, B, h], c_last [B, h]).
+
+    vs the hoisted-gi path this streams x (F wide) instead of gi (4h wide)
+    and never materializes gi or dgi in HBM — per train step it removes
+    ~5 HBM passes of [T, B, 4h] (gi write + 2 reads, dgi write + read),
+    replacing them with 2 passes of [T, B, F].  The win scales with 4h / F;
+    it is the roofline fix for narrow-input models (HAR: F=77, 4h=720).
+
+    Gradients flow to every input via the paired backward kernel, which
+    computes dx and the x-side weight gradients with batched per-time-block
+    matmuls (xu recomputed from the streamed x — cheaper than a residual
+    round-trip).
+    """
+    t, b, f = xs.shape
+    fourh = bias.shape[-1]
+    h = fourh // 4
+    lowrank = v is not None
+    x_lowrank = vx is not None
+    bp = _round_up(b, 8)
+    hp = _round_up(h, 128)
+    fp = _round_up(f, 128)
+
+    xsp = _pad_to(xs, (t, bp, fp))
+    # x-side weights re-laid out to padded gate blocks
+    if x_lowrank:
+        rx = ux.shape[1]
+        rxp = _round_up(rx, 128)
+        uxp = _pad_to(ux, (fp, rxp))
+        vxp = _pad_to(vx.reshape(rx, 4, h), (rxp, 4, hp)).reshape(rxp, 4 * hp)
+    else:
+        uxp = _pad_to(ux.reshape(f, 4, h), (fp, 4, hp)).reshape(fp, 4 * hp)
+        vxp = jnp.zeros((8, 128), jnp.float32)  # unused placeholder
+    xdvecp = _pad_to(xdvec, (4, hp)).reshape(1, 4 * hp)
+    biasp = _pad_to(bias.reshape(4, h), (4, hp)).reshape(1, 4 * hp)
+
+    dvec4 = _pad_to(dvec.reshape(4, h), (4, hp)).reshape(1, 4 * hp)
+    h0p = _pad_to(h0, (bp, hp))
+    c0p = _pad_to(c0, (bp, hp))
+    if lowrank:
+        r = u.shape[1]
+        rp = _round_up(r, 128)
+        up = _pad_to(u, (hp, rp))
+        vp = _pad_to(v.reshape(r, 4, h), (rp, 4, hp)).reshape(rp, 4 * hp)
+    else:
+        up = _pad_to(u.reshape(h, 4, h), (hp, 4, hp)).reshape(hp, 4 * hp)
+        vp = jnp.zeros((8, 128), jnp.float32)  # unused placeholder
+
+    bf16 = precision == "bf16"
+    ys, c_last = _scan_core_xin(xsp, uxp, vxp, xdvecp, biasp, up, vp, dvec4,
+                                h0p, c0p, lowrank, x_lowrank, interpret, bf16)
+    return ys[:, :b, :h], c_last[:b, :h]
 
 
 def vmlmf_rec_inputs(prep, hidden_size):
