@@ -177,6 +177,64 @@ class TestStackKernelParity:
         np.testing.assert_allclose(ys_a, ys_b, atol=1e-5, rtol=1e-5)
 
 
+class TestGroupedStack:
+    """Depth past the VMEM bound runs as chained resident groups
+    (`stack_groups` / `run_stack_grouped`) instead of falling back
+    per-layer wholesale — the r2-VERDICT depth-bound fix."""
+
+    def test_stack_groups_partitions_under_budget(self, monkeypatch):
+        from vmlmf_tpu.ops.pallas_pipeline import stack_fits, stack_groups
+
+        cells = _stack(VMLMFCell, (64,) * 5, w_rank=16, u_rank=16)
+        params = RNN(cells).init(jax.random.PRNGKey(0))
+        preps = [c.prepare(p) for c, p in zip(cells, params)]
+        layers = stack_units(cells, preps)
+        assert stack_fits(layers)  # tiny stack: one resident group
+        assert stack_groups(layers) == [(0, 4)]
+        # starve VMEM so only pairs fit -> two wavefront groups
+        monkeypatch.setenv("VMLMF_VMEM_BYTES", str(13 << 20))
+        assert not stack_fits(layers)
+        groups = stack_groups(layers)
+        assert groups == [(0, 2), (2, 4)]
+        # starve further -> all singletons (per-layer kernel)
+        monkeypatch.setenv("VMLMF_VMEM_BYTES", str(4 << 20))
+        assert stack_groups(layers) == [(0, 1), (1, 2), (2, 3), (3, 4)]
+
+    @pytest.mark.parametrize("vmem_mb", [16, 4])
+    def test_grouped_matches_sequential(self, vmem_mb, monkeypatch):
+        cells = _stack(VMLMFCell, (5,) + (64,) * 4, w_rank=8, u_rank=8)
+        rnn_seq = RNN(cells, backend="xla")
+        params = rnn_seq.init(jax.random.PRNGKey(0))
+        xs = jax.random.normal(jax.random.PRNGKey(1), (6, 3, 5))
+        ys_a, fin_a = rnn_seq(params, xs, time_major=True)
+        monkeypatch.setenv("VMLMF_VMEM_BYTES", str(vmem_mb << 20))
+        ys_b, fin_b = RNN(cells, backend="pallas_pipelined")(
+            params, xs, time_major=True)
+        np.testing.assert_allclose(ys_a, ys_b, atol=1e-5, rtol=1e-5)
+        for (ha, ca), (hb, cb) in zip(fin_a, fin_b):
+            np.testing.assert_allclose(ha, hb, atol=1e-5, rtol=1e-5)
+            np.testing.assert_allclose(ca, cb, atol=1e-5, rtol=1e-5)
+
+    def test_grouped_gradients_match(self, monkeypatch):
+        cells = _stack(VMLMFCell, (8,) + (32,) * 4, w_rank=4, u_rank=4)
+        rnn_seq = RNN(cells, backend="xla")
+        params = rnn_seq.init(jax.random.PRNGKey(0))
+        xs = jax.random.normal(jax.random.PRNGKey(1), (5, 2, 8))
+        w_out = jax.random.normal(jax.random.PRNGKey(2), (5, 2, 32))
+
+        def loss(params, xs, backend):
+            ys, _ = RNN(cells, backend=backend)(params, xs, time_major=True)
+            return jnp.sum(ys * w_out)
+
+        g_a = jax.grad(loss, argnums=(0, 1))(params, xs, "xla")
+        monkeypatch.setenv("VMLMF_VMEM_BYTES", str(8 << 20))
+        g_b = jax.grad(loss, argnums=(0, 1))(params, xs, "pallas_pipelined")
+        for a, b in zip(jax.tree_util.tree_leaves(g_a),
+                        jax.tree_util.tree_leaves(g_b)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=3e-4, rtol=3e-4)
+
+
 class TestLMModelPallasPipelined:
     def _model(self, backend):
         return LMModel(

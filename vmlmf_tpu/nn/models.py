@@ -226,50 +226,30 @@ class LMModel:
         x = dropout(keys[0], x, self.dropout_rate, det or keys[0] is None)
         if self.backend == "pallas_pipelined":
             from vmlmf_tpu.nn.recurrence import _use_interpret
-            from vmlmf_tpu.ops.pallas_pipeline import (
-                lstm_stack_scan_fused,
-                stack_fits,
-                stack_units,
-            )
-            from vmlmf_tpu.ops.pipeline import warn_fallback
+            from vmlmf_tpu.ops.pallas_pipeline import run_stack_grouped
 
             preps = [c.prepare(p) for c, p in zip(self.rnn.cells, params["rnn"])]
-            layers = stack_units(self.rnn.cells, preps)
-            if not stack_fits(layers):
-                layers = None  # VMEM-bound stack: per-layer fused fallback
-            if layers is not None:
-                gi0 = self.rnn.cells[0].inp(preps[0], x)
-                # inter-layer dropout as pre-generated scaled masks streamed
-                # into the kernel (fresh mask per timestep — the sequential
-                # `Model.forward` semantics, `vmlmf_lm.py:433-441`)
-                masks = None
-                L = self.num_layers
-                if not det and keys[1] is not None and self.dropout_rate > 0 and L > 1:
-                    keep = 1.0 - self.dropout_rate
-                    mkeys = jax.random.split(keys[1], L - 1)
-                    masks = [
-                        jax.random.bernoulli(
-                            mkeys[i], keep, x.shape).astype(x.dtype) / keep
-                        for i in range(L - 1)
-                    ]
-                h0s = [s[0] for s in states]
-                c0s = [s[1] for s in states]
-                prec = os.environ.get("VMLMF_PALLAS_PRECISION", "f32")
-                ys, hl, cl = lstm_stack_scan_fused(
-                    gi0, layers, h0s, c0s, masks,
-                    interpret=_use_interpret(), precision=prec)
-                new_states = [(hl[i], cl[i]) for i in range(L)]
-                kl = keys[-1]
-                ys = dropout(kl, ys, self.dropout_rate, det or kl is None)
-                return self._logits(params, ys), new_states
-            warn_fallback(self.rnn.cells)
-            new_states = []
-            for i, (cell, prep) in enumerate(zip(self.rnn.cells, preps)):
-                x, sf = scan_layer(cell, prep, x, states[i], backend="pallas")
-                new_states.append(sf)
-                ki = keys[1 + i]
-                x = dropout(ki, x, self.dropout_rate, det or ki is None)
-            return self._logits(params, x), new_states
+            # inter-layer dropout as pre-generated scaled masks (fresh mask
+            # per timestep — the sequential `Model.forward` semantics,
+            # `vmlmf_lm.py:433-441`); within-group interfaces run inside the
+            # wavefront kernel, group boundaries apply to the handoff
+            masks = None
+            L = self.num_layers
+            if not det and keys[1] is not None and self.dropout_rate > 0 and L > 1:
+                keep = 1.0 - self.dropout_rate
+                mkeys = jax.random.split(keys[1], L - 1)
+                masks = [
+                    jax.random.bernoulli(
+                        mkeys[i], keep, x.shape).astype(x.dtype) / keep
+                    for i in range(L - 1)
+                ]
+            prec = os.environ.get("VMLMF_PALLAS_PRECISION", "f32")
+            ys, new_states = run_stack_grouped(
+                self.rnn.cells, preps, x, states, masks,
+                interpret=_use_interpret(), precision=prec)
+            kl = keys[-1]
+            ys = dropout(kl, ys, self.dropout_rate, det or kl is None)
+            return self._logits(params, ys), new_states
         if self.backend == "pipelined":
             from vmlmf_tpu.ops.pipeline import (
                 pipelined_available,

@@ -158,41 +158,19 @@ class RNN:
         if states is None:
             states = self.state0(batch, xs.dtype)
         if self.backend == "pallas_pipelined" and not reverse:
-            from vmlmf_tpu.ops.pallas_pipeline import (
-                lstm_stack_scan_fused,
-                stack_fits,
-                stack_units,
-            )
+            from vmlmf_tpu.ops.pallas_pipeline import run_stack_grouped
 
             preps = [c.prepare(p) for c, p in zip(self.cells, params)]
-            layers = stack_units(self.cells, preps)
-            if not stack_fits(layers):
-                layers = None  # VMEM-bound stack: per-layer fused fallback
-            if layers is not None:
-                gi0 = self.cells[0].inp(preps[0], xs)
-                h0s = [s[0] for s in states]
-                c0s = [s[1] for s in states]
-                prec = self.precision or os.environ.get(
-                    "VMLMF_PALLAS_PRECISION", "f32")
-                ys, hl, cl = lstm_stack_scan_fused(
-                    gi0, layers, h0s, c0s, interpret=_use_interpret(),
-                    precision=prec)
-                if not time_major:
-                    ys = jnp.swapaxes(ys, 0, 1)
-                return ys, [(hl[i], cl[i]) for i in range(len(self.cells))]
-            from vmlmf_tpu.ops.pipeline import warn_fallback
-
-            warn_fallback(self.cells)
-            # closest per-layer fallback: the single-layer fused kernel
-            finals = []
-            for cell, prep, s0 in zip(self.cells, preps, states):
-                xs, sf = scan_layer(cell, prep, xs, s0, unroll=self.unroll,
-                                    backend="pallas",
-                                    precision=self.precision)
-                finals.append(sf)
+            prec = self.precision or os.environ.get(
+                "VMLMF_PALLAS_PRECISION", "f32")
+            # VMEM-resident wavefront over maximal fitting groups; per-layer
+            # fused fallback for singletons / non-uniform stacks
+            ys, finals = run_stack_grouped(
+                self.cells, preps, xs, states,
+                interpret=_use_interpret(), precision=prec)
             if not time_major:
-                xs = jnp.swapaxes(xs, 0, 1)
-            return xs, finals
+                ys = jnp.swapaxes(ys, 0, 1)
+            return ys, finals
         if self.backend == "pipelined" and not reverse:
             from vmlmf_tpu.ops.pipeline import (
                 pipelined_available,

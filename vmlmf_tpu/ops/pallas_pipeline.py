@@ -126,7 +126,16 @@ def stack_fits(layers):
         return total
 
     min_stream = 18 * len(layers) * 8 * 4 * hp * 4
-    return 2 * wbytes(4) + min_stream <= vmem_budgets()["budget"]
+    total = 2 * wbytes(4) + min_stream
+    budget = vmem_budgets()["budget"]
+    if len(layers) <= 2:
+        return total <= budget
+    # Deeper stacks under-model the real Mosaic frame: a 3x650-w300 group
+    # whose model total (96M incl. picked tiles) sits BELOW the 2x650's
+    # (106M) still overflows on-chip (measured 119.3M scoped frame vs the
+    # 116M limit) — per-layer stream buffers and unrolled spills grow faster
+    # than the linear model.  Demand 2x margin past two resident layers.
+    return total <= budget // 2
 
 
 # ---------------------------------------------------------------------------
@@ -745,6 +754,87 @@ def lstm_stack_scan_fused(gi0, layers, h0s, c0s, masks=None, *,
     return (ys_last[:, :b, :h],
             [a[:b, :h] for a in hlast],
             [a[:b, :h] for a in clast])
+
+
+def stack_groups(layers):
+    """Partition the stack into maximal contiguous groups of layers whose
+    factors (+ gradient accumulators) fit VMEM together (`stack_fits`).
+
+    Lifts the all-factors-resident design's depth bound: a 4x650 w300/u300
+    stack (which does not compile as one resident kernel on v5e) runs as two
+    chained 2-layer wavefront kernels — each group's serial chain is
+    T/sblk + group_size - 1 blocks instead of group_size * T/sblk, and
+    inter-group handoff is one [T, B, h] array.  Returns a list of
+    (start, end) half-open index pairs; singleton groups run the per-layer
+    fused kernel (with its x-fused input projection)."""
+    groups, i, n = [], 0, len(layers)
+    while i < n:
+        j = n
+        while j - i >= 2 and not stack_fits(layers[i:j]):
+            j -= 1
+        groups.append((i, max(j, i + 1)))
+        i = max(j, i + 1)
+    return groups
+
+
+def _group_layers(layers, start, end):
+    """Slice group layers; the group's first layer consumes gi0, so its
+    x-side factors are dropped (they are applied by the caller's `inp` or by
+    the per-layer kernel of the previous group's boundary)."""
+    out = []
+    for idx in range(start, end):
+        lay = layers[idx]
+        if idx == start:
+            lay = {k: lay[k] for k in ("u", "v", "dvec")}
+        out.append(lay)
+    return out
+
+
+def run_stack_grouped(cells, preps, xs, states, masks=None, *,
+                      interpret=False, precision="f32"):
+    """Execute a uniform LSTM-family stack through VMEM-resident wavefront
+    groups (`stack_groups`), falling back to the per-layer fused kernel for
+    singleton groups and non-uniform stacks.
+
+    xs: time-major [T, B, n]; states: per-layer (h0, c0); masks: optional
+    per-interface (length L-1) pre-scaled dropout masks — within-group
+    interfaces run inside the kernel, group-boundary masks are applied to
+    the handoff array.  -> (ys [T, B, h], new_states list)."""
+    from vmlmf_tpu.nn.recurrence import scan_layer
+
+    layers = stack_units(cells, preps)
+    finals = [None] * len(cells)
+    x = xs
+    if layers is None:
+        from vmlmf_tpu.ops.pipeline import warn_fallback
+
+        warn_fallback(cells)
+        for i, (cell, prep) in enumerate(zip(cells, preps)):
+            x, finals[i] = scan_layer(cell, prep, x, states[i],
+                                      backend="pallas", precision=precision)
+            if masks is not None and i < len(cells) - 1:
+                x = x * masks[i]
+        return x, finals
+    for start, end in stack_groups(layers):
+        if end - start == 1:
+            x, finals[start] = scan_layer(
+                cells[start], preps[start], x, states[start],
+                backend="pallas", precision=precision)
+        else:
+            gi0 = cells[start].inp(preps[start], x)
+            h0s = [states[i][0] for i in range(start, end)]
+            c0s = [states[i][1] for i in range(start, end)]
+            gmasks = None
+            if masks is not None and end - start > 1:
+                gmasks = [masks[i] for i in range(start, end - 1)]
+            x, hl, cl = lstm_stack_scan_fused(
+                gi0, _group_layers(layers, start, end), h0s, c0s, gmasks,
+                interpret=interpret, precision=precision)
+            for i in range(start, end):
+                finals[i] = (hl[i - start], cl[i - start])
+        if masks is not None and end - 1 < len(cells) - 1:
+            x = x * masks[end - 1]  # group-boundary inter-layer dropout
+    return x, finals
 
 
 def stack_units(cells, preps):
