@@ -212,6 +212,30 @@ class TestXinModes:
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        atol=2e-2, rtol=2e-2)
 
+    def test_gru_xin_matches_hoisted_gi(self, monkeypatch):
+        from vmlmf_tpu.cells import GRUCell
+
+        cell = GRUCell(10, 48, w_rank=6, u_rank=6)
+        params = cell.init(KEY)
+        xs = jax.random.normal(jax.random.PRNGKey(1), (6, 5, 10))
+        h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(2), (5, 48))
+        w_out = jax.random.normal(jax.random.PRNGKey(3), (6, 5, 48))
+
+        def loss(params, xs):
+            prep = cell.prepare(params)
+            ys, hf = scan_layer(cell, prep, xs, h0, backend="pallas")
+            return jnp.sum(ys * w_out) + jnp.sum(jnp.tanh(hf))
+
+        monkeypatch.setenv("VMLMF_PALLAS_XIN", "1")
+        val_x, g_x = jax.value_and_grad(loss, argnums=(0, 1))(params, xs)
+        monkeypatch.setenv("VMLMF_PALLAS_XIN", "0")
+        val_g, g_g = jax.value_and_grad(loss, argnums=(0, 1))(params, xs)
+        np.testing.assert_allclose(val_x, val_g, atol=2e-5, rtol=2e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(g_x),
+                        jax.tree_util.tree_leaves(g_g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3e-4, rtol=3e-4)
+
     def test_xin_wide_input(self):
         """F > h exercises the kernel-side pad_features truncation."""
         cell = LSTMCell(200, 32, w_rank=8, u_rank=8)

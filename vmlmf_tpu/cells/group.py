@@ -142,6 +142,16 @@ class VMLMFGroupCell(Cell):
             dvec = jnp.zeros((4 * self.hidden_size,), w.dtype)
         return w, None, dvec
 
+    def fused_x_inputs(self, prep):
+        """(ux, vx, xdvec, bias) for the x-fused Pallas scan — the group
+        cell's input side is the shared low-rank VMLMF path."""
+        h = self.hidden_size
+        if self.use_vm:
+            xdvec = pad_features(prep["d_x"], h)[None, :] - prep["dcorr_x"]
+        else:
+            xdvec = jnp.zeros((4, h), jnp.float32)
+        return prep["u_x"], prep["v_x"].T, xdvec, prep["b_x"] + prep["b_h"]
+
 
 @dataclasses.dataclass(frozen=True)
 class LSTMGroupCell(Cell):
@@ -217,3 +227,10 @@ class LSTMGroupCell(Cell):
         v_t = [prep[f"v_h_{i}"] for i in range(self.groups)]
         w = dense_from_group(u_t, v_t, 4, self.hidden_size).T
         return w, None, jnp.zeros((4 * self.hidden_size,), w.dtype)
+
+    def fused_x_inputs(self, prep):
+        """(ux, vx, xdvec, bias) for the x-fused Pallas scan (no vm terms)."""
+        zeros = jnp.zeros((4, self.hidden_size), jnp.float32)
+        if self.w_rank is None:
+            return prep["w"], None, zeros, prep["b"]
+        return prep["w_fac"], prep["w_proj"], zeros, prep["b"]

@@ -81,6 +81,12 @@ class GRUCell(Cell):
             return None, prep["u_rz"], prep["u_n"], "pre"
         return prep["u_fac"], prep["u_proj_rz"], prep["u_proj_n"], "pre"
 
+    def fused_x_inputs_gru(self, prep):
+        """(ux, vx, bias) for the x-fused GRU scan."""
+        if self.w_rank is None:
+            return prep["w"], None, prep["b"]
+        return prep["w_fac"], prep["w_proj"], prep["b"]
+
     def step(self, prep, gi_t, state):
         h = state
         hdim = self.hidden_size
@@ -171,3 +177,9 @@ class GRUGroupCell(Cell):
         h = self.hidden_size
         w = dense_from_group(u_t, v_t, 3, h).T  # [h, 3h], (r, z, n) gate-major
         return None, w[:, : 2 * h], w[:, 2 * h :], "post"
+
+    def fused_x_inputs_gru(self, prep):
+        """(ux, vx, bias) for the x-fused GRU scan."""
+        if self.w_rank is None:
+            return prep["w"], None, prep["b"]
+        return prep["w_fac"], prep["w_proj"], prep["b"]

@@ -97,21 +97,30 @@ def scan_layer(cell, prep, xs, state0, *, reverse=False, unroll=1, backend="xla"
                 ys = jnp.flip(ys, axis=0)
             return ys, (h_last, c_last)
 
-    gi = cell.inp(prep, xs)  # [T, B, G*h] — hoisted, time-parallel
-
     if (backend == "pallas" and hasattr(cell, "fused_rec_inputs_gru")
             and not isinstance(state0, tuple)):
-        from vmlmf_tpu.ops.pallas_gru import gru_scan_fused
+        from vmlmf_tpu.ops.pallas_gru import gru_scan_fused, gru_scan_fused_xin
 
         uf, prz, pn, mode = cell.fused_rec_inputs_gru(prep)
-        if reverse:
-            gi = jnp.flip(gi, axis=0)
-        ys = gru_scan_fused(gi, uf, prz, pn, state0, mode=mode,
-                            interpret=_use_interpret())
+        fxi = None
+        if _use_xin(cell):
+            fxi = getattr(cell, "fused_x_inputs_gru", lambda p: None)(prep)
+        if fxi is not None:
+            src = jnp.flip(xs, axis=0) if reverse else xs
+            ys = gru_scan_fused_xin(src, *fxi, uf, prz, pn, state0, mode=mode,
+                                    interpret=_use_interpret())
+        else:
+            gi = cell.inp(prep, xs)
+            if reverse:
+                gi = jnp.flip(gi, axis=0)
+            ys = gru_scan_fused(gi, uf, prz, pn, state0, mode=mode,
+                                interpret=_use_interpret())
         h_last = ys[-1]
         if reverse:
             ys = jnp.flip(ys, axis=0)
         return ys, h_last
+
+    gi = cell.inp(prep, xs)  # [T, B, G*h] — hoisted, time-parallel
 
     def body(state, gi_t):
         state, out = cell.step(prep, gi_t, state)

@@ -36,6 +36,7 @@ from vmlmf_tpu.ops.pallas_scan import (
     _pad_to,
     _pick_tiles,
     _round_up,
+    _weights_nbytes,
 )
 
 
@@ -43,29 +44,51 @@ from vmlmf_tpu.ops.pallas_scan import (
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(gi_ref, uf_ref, prz_ref, pn_ref, h0_ref,
-                *refs, hp, lowrank, sblk, residuals, post):
-    if residuals:
-        if lowrank:
-            ys_ref, gates_ref, hu_ref, rhu_ref, h_s = refs
-            recn_ref = None
-        elif post:
-            ys_ref, gates_ref, recn_ref, h_s = refs
-            hu_ref = rhu_ref = None
-        else:
-            ys_ref, gates_ref, h_s = refs
-            hu_ref = rhu_ref = recn_ref = None
+def _fwd_kernel(*refs, hp, fp, lowrank, xin, x_lowrank, sblk, residuals, post):
+    it = iter(refs)
+    if xin:
+        x_ref = next(it)
+        ux_ref = next(it)
+        vx_ref = next(it) if x_lowrank else None
+        bias_ref = next(it)
     else:
-        ys_ref, h_s = refs
-        gates_ref = hu_ref = rhu_ref = recn_ref = None
+        gi_ref = next(it)
+    uf_ref = next(it)
+    prz_ref = next(it)
+    pn_ref = next(it)
+    h0_ref = next(it)
+    ys_ref = next(it)
+    gates_ref = hu_ref = rhu_ref = recn_ref = None
+    if residuals:
+        gates_ref = next(it)
+        if lowrank:
+            hu_ref = next(it)
+            rhu_ref = next(it)
+        elif post:
+            recn_ref = next(it)
+    h_s = next(it)
+    assert next(it, None) is None
     k = pl.program_id(1)
 
     @pl.when(k == 0)
     def _():
         h_s[:] = h0_ref[:]
 
+    if xin:
+        # batched in-kernel input projection for the whole time block
+        xblk = x_ref[:]                                    # [sblk, bt, fp]
+        bt = xblk.shape[1]
+        x2 = xblk.reshape(sblk * bt, fp)
+        if x_lowrank:
+            xu2 = jnp.dot(x2, ux_ref[:], preferred_element_type=jnp.float32)
+            gix = jnp.dot(xu2, vx_ref[:], preferred_element_type=jnp.float32)
+        else:
+            gix = jnp.dot(x2, ux_ref[:], preferred_element_type=jnp.float32)
+        gi_blk = (gix + bias_ref[:]).reshape(sblk, bt, 3 * hp)
+
     h = h_s[:]
     for st in range(sblk):
+        gi_t = gi_blk[st] if xin else gi_ref[st]
         if lowrank:
             hu = jnp.dot(h, uf_ref[:], preferred_element_type=jnp.float32)
             if hu_ref is not None:
@@ -73,15 +96,15 @@ def _fwd_kernel(gi_ref, uf_ref, prz_ref, pn_ref, h0_ref,
             rz = jnp.dot(hu, prz_ref[:], preferred_element_type=jnp.float32)
         else:
             rz = jnp.dot(h, prz_ref[:], preferred_element_type=jnp.float32)
-        r = jax.nn.sigmoid(gi_ref[st, :, :hp] + rz[:, :hp])
-        z = jax.nn.sigmoid(gi_ref[st, :, hp:2 * hp] + rz[:, hp:])
+        r = jax.nn.sigmoid(gi_t[:, :hp] + rz[:, :hp])
+        z = jax.nn.sigmoid(gi_t[:, hp:2 * hp] + rz[:, hp:])
         if post:
             # group-GRU form: reset gate scales the candidate matmul *output*
             # (`compressed_gru.py:245`) — one h-matmul per step, no (r·h) pass
             recn = jnp.dot(h, pn_ref[:], preferred_element_type=jnp.float32)
             if recn_ref is not None:
                 recn_ref[st] = recn
-            n = jnp.tanh(gi_ref[st, :, 2 * hp:] + r * recn)
+            n = jnp.tanh(gi_t[:, 2 * hp:] + r * recn)
         else:
             rh = r * h
             if lowrank:
@@ -91,7 +114,7 @@ def _fwd_kernel(gi_ref, uf_ref, prz_ref, pn_ref, h0_ref,
                 nn = jnp.dot(rhu, pn_ref[:], preferred_element_type=jnp.float32)
             else:
                 nn = jnp.dot(rh, pn_ref[:], preferred_element_type=jnp.float32)
-            n = jnp.tanh(gi_ref[st, :, 2 * hp:] + nn)
+            n = jnp.tanh(gi_t[:, 2 * hp:] + nn)
         if gates_ref is not None:
             gates_ref[st] = jnp.concatenate([r, z, n], axis=-1)
         h = z * h + (1.0 - z) * n
@@ -99,52 +122,78 @@ def _fwd_kernel(gi_ref, uf_ref, prz_ref, pn_ref, h0_ref,
     h_s[:] = h
 
 
-def _fwd_call(gi, uf, prz, pn, h0, *, lowrank, interpret, residuals, post=False):
-    t, bp, threehp = gi.shape
+def _fwd_call(stream, xw, uf, prz, pn, h0, *, lowrank, interpret, residuals,
+              post=False):
+    """stream: gi [T,Bp,3hp] (xw None) or x [T,Bp,Fp] with
+    xw = (ux, vx|None, bias) padded x-side weights."""
+    xin = xw is not None
+    if xin:
+        t, bp, fp = stream.shape
+        ux, vx, bias = xw
+        x_lowrank = vx is not None
+        threehp = bias.shape[-1]
+    else:
+        t, bp, threehp = stream.shape
+        fp = threehp
+        ux = vx = bias = None
+        x_lowrank = False
     hp = threehp // 3
-    sblk, bt = _pick_tiles(t, bp, threehp, live=10 if residuals else 8) or (1, 8)
+    live = (10 if residuals else 8) + (3 if xin else 0)
+    fixed = _weights_nbytes(uf, prz, pn, ux, vx, bias)
+    sblk, bt = _pick_tiles(t, bp, threehp, live=live, fixed=fixed) or (1, 8)
     nb = bp // bt if bp % bt == 0 else -(-bp // bt)
-    gi = _pad_to(gi, (t, nb * bt, threehp))
+    stream = _pad_to(stream, (t, nb * bt, fp))
     h0 = _pad_to(h0, (nb * bt, hp))
 
     step = lambda b, k: (k, b, 0)
     row = lambda b, k: (b, 0)
     const = lambda b, k: (0, 0)
-    out_specs = [pl.BlockSpec((sblk, bt, hp), step, memory_space=pltpu.VMEM)]
+
+    def blk(shape, idx):
+        return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
+
+    operands = [stream]
+    in_specs = [blk((sblk, bt, fp), step)]
+    if xin:
+        for w in (ux, vx, bias):
+            if w is not None:
+                operands.append(w)
+                in_specs.append(blk(w.shape, const))
+    operands += [uf, prz, pn, h0]
+    in_specs += [
+        blk(uf.shape, const),
+        blk(prz.shape, const),
+        blk(pn.shape, const),
+        blk((bt, hp), row),
+    ]
+    out_specs = [blk((sblk, bt, hp), step)]
     out_shape = [jax.ShapeDtypeStruct((t, nb * bt, hp), jnp.float32)]
     if residuals:
-        out_specs.append(
-            pl.BlockSpec((sblk, bt, threehp), step, memory_space=pltpu.VMEM))
+        out_specs.append(blk((sblk, bt, threehp), step))
         out_shape.append(jax.ShapeDtypeStruct((t, nb * bt, threehp), jnp.float32))
         if lowrank:
             rp = uf.shape[1]
             for _ in range(2):  # hu, rhu
-                out_specs.append(
-                    pl.BlockSpec((sblk, bt, rp), step, memory_space=pltpu.VMEM))
+                out_specs.append(blk((sblk, bt, rp), step))
                 out_shape.append(
                     jax.ShapeDtypeStruct((t, nb * bt, rp), jnp.float32))
         elif post:
             out_specs.append(  # rec_n (pre-reset candidate recurrent term)
-                pl.BlockSpec((sblk, bt, hp), step, memory_space=pltpu.VMEM))
+                blk((sblk, bt, hp), step))
             out_shape.append(jax.ShapeDtypeStruct((t, nb * bt, hp), jnp.float32))
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, hp=hp, lowrank=lowrank, sblk=sblk,
+        functools.partial(_fwd_kernel, hp=hp, fp=fp, lowrank=lowrank,
+                          xin=xin, x_lowrank=x_lowrank, sblk=sblk,
                           residuals=residuals, post=post),
         grid=(nb, t // sblk),
-        in_specs=[
-            pl.BlockSpec((sblk, bt, threehp), step, memory_space=pltpu.VMEM),
-            pl.BlockSpec(uf.shape, const, memory_space=pltpu.VMEM),
-            pl.BlockSpec(prz.shape, const, memory_space=pltpu.VMEM),
-            pl.BlockSpec(pn.shape, const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, hp), row, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((bt, hp), jnp.float32)],
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(gi, uf, prz, pn, h0)
-    # ys [, gates (r,z,n) [, hu, rhu]]
+    )(*operands)
+    # ys [, gates (r,z,n) [, hu, rhu | recn]]
     return tuple(o[:, :bp] for o in out)
 
 
@@ -152,22 +201,42 @@ def _fwd_call(gi, uf, prz, pn, h0, *, lowrank, interpret, residuals, post=False)
 # backward (reverse grid)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(gates_ref, *refs, hp, lowrank, sblk, post):
+def _bwd_kernel(*refs, hp, fp, lowrank, xin, x_lowrank, sblk, post):
+    it = iter(refs)
+    gates_ref = next(it)
+    hu_ref = rhu_ref = recn_ref = None
     if lowrank:
-        (hu_ref, rhu_ref, uf_ref, prz_ref, pn_ref, hprev_ref, dys_ref,
-         dgi_ref, duf_ref, dprz_ref, dpn_ref, dh0_ref,
-         dh_s, duf_s, dprz_s, dpn_s) = refs
-        recn_ref = None
+        hu_ref = next(it)
+        rhu_ref = next(it)
     elif post:
-        (recn_ref, uf_ref, prz_ref, pn_ref, hprev_ref, dys_ref,
-         dgi_ref, duf_ref, dprz_ref, dpn_ref, dh0_ref,
-         dh_s, duf_s, dprz_s, dpn_s) = refs
-        hu_ref = rhu_ref = None
-    else:
-        (uf_ref, prz_ref, pn_ref, hprev_ref, dys_ref,
-         dgi_ref, duf_ref, dprz_ref, dpn_ref, dh0_ref,
-         dh_s, duf_s, dprz_s, dpn_s) = refs
-        hu_ref = rhu_ref = recn_ref = None
+        recn_ref = next(it)
+    if xin:
+        x_ref = next(it)
+        ux_ref = next(it)
+        vx_ref = next(it) if x_lowrank else None
+    uf_ref = next(it)
+    prz_ref = next(it)
+    pn_ref = next(it)
+    hprev_ref = next(it)
+    dys_ref = next(it)
+    dstream_ref = next(it)  # dgi (gi mode) or dx (x mode)
+    duf_ref = next(it)
+    dprz_ref = next(it)
+    dpn_ref = next(it)
+    if xin:
+        dux_ref = next(it)
+        dvx_ref = next(it) if x_lowrank else None
+        dbias_ref = next(it)
+    dh0_ref = next(it)
+    dh_s = next(it)
+    duf_s = next(it)
+    dprz_s = next(it)
+    dpn_s = next(it)
+    if xin:
+        dux_s = next(it)
+        dvx_s = next(it) if x_lowrank else None
+        dbias_s = next(it)
+    assert next(it, None) is None
     b = pl.program_id(0)
     k = pl.program_id(1)
     nb = pl.num_programs(0)
@@ -178,6 +247,11 @@ def _bwd_kernel(gates_ref, *refs, hp, lowrank, sblk, post):
         duf_s[:] = jnp.zeros_like(duf_s)
         dprz_s[:] = jnp.zeros_like(dprz_s)
         dpn_s[:] = jnp.zeros_like(dpn_s)
+        if xin:
+            dux_s[:] = jnp.zeros_like(dux_s)
+            if dvx_s is not None:
+                dvx_s[:] = jnp.zeros_like(dvx_s)
+            dbias_s[:] = jnp.zeros_like(dbias_s)
 
     @pl.when(k == 0)
     def _():
@@ -185,6 +259,7 @@ def _bwd_kernel(gates_ref, *refs, hp, lowrank, sblk, post):
 
     dh_carry = dh_s[:]
     duf_acc = dprz_acc = dpn_acc = None
+    dpre_blk = [None] * sblk
 
     for st in range(sblk - 1, -1, -1):
         h_prev = hprev_ref[st]
@@ -237,10 +312,31 @@ def _bwd_kernel(gates_ref, *refs, hp, lowrank, sblk, post):
             dh_prev = dh_prev + jnp.dot(drz, prz_ref[:].T,
                                         preferred_element_type=jnp.float32)
 
-        dgi_ref[st] = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
+        dpre = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
+        if xin:
+            dpre_blk[st] = dpre
+        else:
+            dstream_ref[st] = dpre
         dprz_acc = dprz_t if dprz_acc is None else dprz_acc + dprz_t
         dpn_acc = dpn_t if dpn_acc is None else dpn_acc + dpn_t
         dh_carry = dh_prev
+
+    if xin:
+        # batched x-side gradients for the whole time block
+        bt = dpre_blk[0].shape[0]
+        dpre2 = jnp.stack(dpre_blk).reshape(sblk * bt, 3 * hp)
+        x2 = x_ref[:].reshape(sblk * bt, fp)
+        if x_lowrank:
+            dxu = jnp.dot(dpre2, vx_ref[:].T, preferred_element_type=jnp.float32)
+            dx2 = jnp.dot(dxu, ux_ref[:].T, preferred_element_type=jnp.float32)
+            xu2 = jnp.dot(x2, ux_ref[:], preferred_element_type=jnp.float32)
+            dux_s[:] += jnp.dot(x2.T, dxu, preferred_element_type=jnp.float32)
+            dvx_s[:] += jnp.dot(xu2.T, dpre2, preferred_element_type=jnp.float32)
+        else:
+            dx2 = jnp.dot(dpre2, ux_ref[:].T, preferred_element_type=jnp.float32)
+            dux_s[:] += jnp.dot(x2.T, dpre2, preferred_element_type=jnp.float32)
+        dbias_s[:] += jnp.sum(dpre2, axis=0, keepdims=True)
+        dstream_ref[:] = dx2.reshape(sblk, bt, fp)
 
     if duf_acc is not None:
         duf_s[:] += duf_acc
@@ -257,13 +353,30 @@ def _bwd_kernel(gates_ref, *refs, hp, lowrank, sblk, post):
         duf_ref[:] = duf_s[:]
         dprz_ref[:] = dprz_s[:]
         dpn_ref[:] = dpn_s[:]
+        if xin:
+            dux_ref[:] = dux_s[:]
+            if dvx_ref is not None:
+                dvx_ref[:] = dvx_s[:]
+            dbias_ref[:] = dbias_s[:]
 
 
-def _bwd_call(gates, hu, rhu, uf, prz, pn, hprev, dys, *, lowrank, interpret,
-              post=False, recn=None):
+def _bwd_call(gates, hu, rhu, xres, uf, prz, pn, hprev, dys, *, lowrank,
+              interpret, post=False, recn=None):
+    """xres: None (gi mode) or (x, ux, vx|None) padded x-side residuals."""
     t, bp, threehp = gates.shape
     hp = threehp // 3
-    sblk, bt = _pick_tiles(t, bp, threehp, live=16) or (1, 8)
+    xin = xres is not None
+    if xin:
+        x, ux, vx = xres
+        x_lowrank = vx is not None
+        fp = x.shape[-1]
+    else:
+        x = ux = vx = None
+        x_lowrank = False
+        fp = threehp
+    live = 16 + (4 if xin else 0)
+    fixed = 2 * _weights_nbytes(uf, prz, pn, ux, vx)
+    sblk, bt = _pick_tiles(t, bp, threehp, live=live, fixed=fixed) or (1, 8)
     nb = bp // bt if bp % bt == 0 else -(-bp // bt)
     bpad = nb * bt
     gates = _pad_to(gates, (t, bpad, threehp))
@@ -274,63 +387,96 @@ def _bwd_call(gates, hu, rhu, uf, prz, pn, hprev, dys, *, lowrank, interpret,
     rev = lambda b, k: (ntb - 1 - k, b, 0)
     row = lambda b, k: (b, 0)
     const = lambda b, k: (0, 0)
-    in_specs = [
-        pl.BlockSpec((sblk, bt, threehp), rev, memory_space=pltpu.VMEM),  # gates
-    ]
+
+    def blk(shape, idx):
+        return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
+
+    in_specs = [blk((sblk, bt, threehp), rev)]                     # gates
     operands = [gates]
     if lowrank:
         rp = hu.shape[-1]
         hu = _pad_to(hu, (t, bpad, rp))
         rhu = _pad_to(rhu, (t, bpad, rp))
         in_specs += [
-            pl.BlockSpec((sblk, bt, rp), rev, memory_space=pltpu.VMEM),   # h@Uf
-            pl.BlockSpec((sblk, bt, rp), rev, memory_space=pltpu.VMEM),   # (r h)@Uf
+            blk((sblk, bt, rp), rev),   # h@Uf
+            blk((sblk, bt, rp), rev),   # (r h)@Uf
         ]
         operands += [hu, rhu]
     elif post:
         recn = _pad_to(recn, (t, bpad, hp))
-        in_specs += [
-            pl.BlockSpec((sblk, bt, hp), rev, memory_space=pltpu.VMEM),   # rec_n
-        ]
+        in_specs += [blk((sblk, bt, hp), rev)]                     # rec_n
         operands += [recn]
+    if xin:
+        x = _pad_to(x, (t, bpad, fp))
+        in_specs.append(blk((sblk, bt, fp), rev))                  # x
+        operands.append(x)
+        for w in (ux, vx):
+            if w is not None:
+                in_specs.append(blk(w.shape, const))
+                operands.append(w)
     in_specs += [
-        pl.BlockSpec(uf.shape, const, memory_space=pltpu.VMEM),
-        pl.BlockSpec(prz.shape, const, memory_space=pltpu.VMEM),
-        pl.BlockSpec(pn.shape, const, memory_space=pltpu.VMEM),
-        pl.BlockSpec((sblk, bt, hp), rev, memory_space=pltpu.VMEM),
-        pl.BlockSpec((sblk, bt, hp), rev, memory_space=pltpu.VMEM),
+        blk(uf.shape, const),
+        blk(prz.shape, const),
+        blk(pn.shape, const),
+        blk((sblk, bt, hp), rev),
+        blk((sblk, bt, hp), rev),
     ]
     operands += [uf, prz, pn, hprev, dys]
+
+    f32 = jnp.float32
+    out_specs = [
+        blk((sblk, bt, fp), rev),      # dgi or dx
+        blk(uf.shape, const),
+        blk(prz.shape, const),
+        blk(pn.shape, const),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((t, bpad, fp), f32),
+        jax.ShapeDtypeStruct(uf.shape, f32),
+        jax.ShapeDtypeStruct(prz.shape, f32),
+        jax.ShapeDtypeStruct(pn.shape, f32),
+    ]
+    scratch = [
+        pltpu.VMEM((bt, hp), f32),      # dh carry
+        pltpu.VMEM(uf.shape, f32),      # dU_f accumulator
+        pltpu.VMEM(prz.shape, f32),     # dP_rz accumulator
+        pltpu.VMEM(pn.shape, f32),      # dP_n accumulator
+    ]
+    if xin:
+        xg_shapes = [ux.shape]                             # dux
+        if x_lowrank:
+            xg_shapes.append(vx.shape)                     # dvx
+        xg_shapes.append((1, threehp))                     # dbias
+        for s in xg_shapes:
+            out_specs.append(blk(s, const))
+            out_shape.append(jax.ShapeDtypeStruct(s, f32))
+            scratch.append(pltpu.VMEM(s, f32))
+    out_specs.append(blk((bt, hp), row))
+    out_shape.append(jax.ShapeDtypeStruct((bpad, hp), f32))
+
     out = pl.pallas_call(
-        functools.partial(_bwd_kernel, hp=hp, lowrank=lowrank, sblk=sblk,
-                          post=post),
+        functools.partial(_bwd_kernel, hp=hp, fp=fp, lowrank=lowrank,
+                          xin=xin, x_lowrank=x_lowrank, sblk=sblk, post=post),
         grid=(nb, ntb),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((sblk, bt, threehp), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec(uf.shape, const, memory_space=pltpu.VMEM),
-            pl.BlockSpec(prz.shape, const, memory_space=pltpu.VMEM),
-            pl.BlockSpec(pn.shape, const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, hp), row, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((t, bpad, threehp), jnp.float32),
-            jax.ShapeDtypeStruct(uf.shape, jnp.float32),
-            jax.ShapeDtypeStruct(prz.shape, jnp.float32),
-            jax.ShapeDtypeStruct(pn.shape, jnp.float32),
-            jax.ShapeDtypeStruct((bpad, hp), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((bt, hp), jnp.float32),      # dh carry
-            pltpu.VMEM(uf.shape, jnp.float32),      # dU_f accumulator
-            pltpu.VMEM(prz.shape, jnp.float32),     # dP_rz accumulator
-            pltpu.VMEM(pn.shape, jnp.float32),      # dP_n accumulator
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(*operands)
-    dgi, duf, dprz, dpn, dh0 = out
-    return dgi[:, :bp], duf, dprz, dpn, dh0[:bp]
+    it = iter(out)
+    dstream = next(it)[:, :bp]
+    duf, dprz, dpn = next(it), next(it), next(it)
+    if xin:
+        dux = next(it)
+        dvx = next(it) if x_lowrank else None
+        dbias = next(it)
+    else:
+        dux = dvx = dbias = None
+    dh0 = next(it)[:bp]
+    assert next(it, None) is None
+    return dstream, duf, dprz, dpn, (dux, dvx, dbias), dh0
 
 
 # ---------------------------------------------------------------------------
@@ -340,13 +486,13 @@ def _bwd_call(gates, hu, rhu, uf, prz, pn, hprev, dys, *, lowrank, interpret,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _scan_core(gi, uf, prz, pn, h0, lowrank, interpret, post):
     # no-grad primal: residual-free forward (no gates/hu/rhu HBM traffic)
-    (ys,) = _fwd_call(gi, uf, prz, pn, h0, lowrank=lowrank,
+    (ys,) = _fwd_call(gi, None, uf, prz, pn, h0, lowrank=lowrank,
                       interpret=interpret, residuals=False, post=post)
     return ys
 
 
 def _scan_core_fwd(gi, uf, prz, pn, h0, lowrank, interpret, post):
-    out = _fwd_call(gi, uf, prz, pn, h0, lowrank=lowrank,
+    out = _fwd_call(gi, None, uf, prz, pn, h0, lowrank=lowrank,
                     interpret=interpret, residuals=True, post=post)
     ys, gates = out[:2]
     hu = rhu = recn = None
@@ -362,13 +508,51 @@ def _scan_core_fwd(gi, uf, prz, pn, h0, lowrank, interpret, post):
 def _scan_core_bwd(lowrank, interpret, post, res, dys):
     uf, prz, pn, h0, ys, gates, hu, rhu, recn = res
     hprev = jnp.concatenate([h0[None], ys[:-1]], axis=0)
-    dgi, duf, dprz, dpn, dh0 = _bwd_call(
-        gates, hu, rhu, uf, prz, pn, hprev, dys,
+    dgi, duf, dprz, dpn, _, dh0 = _bwd_call(
+        gates, hu, rhu, None, uf, prz, pn, hprev, dys,
         lowrank=lowrank, interpret=interpret, post=post, recn=recn)
     return dgi, duf, dprz, dpn, dh0
 
 
 _scan_core.defvjp(_scan_core_fwd, _scan_core_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def _scan_core_xin(x, ux, vx, bias, uf, prz, pn, h0,
+                   lowrank, x_lowrank, interpret, post):
+    vxx = vx if x_lowrank else None
+    (ys,) = _fwd_call(x, (ux, vxx, bias), uf, prz, pn, h0, lowrank=lowrank,
+                      interpret=interpret, residuals=False, post=post)
+    return ys
+
+
+def _scan_core_xin_fwd(x, ux, vx, bias, uf, prz, pn, h0,
+                       lowrank, x_lowrank, interpret, post):
+    vxx = vx if x_lowrank else None
+    out = _fwd_call(x, (ux, vxx, bias), uf, prz, pn, h0, lowrank=lowrank,
+                    interpret=interpret, residuals=True, post=post)
+    ys, gates = out[:2]
+    hu = rhu = recn = None
+    if lowrank:
+        hu, rhu = out[2], out[3]
+    elif post:
+        recn = out[2]
+    return ys, (x, ux, vx, uf, prz, pn, h0, ys, gates, hu, rhu, recn)
+
+
+def _scan_core_xin_bwd(lowrank, x_lowrank, interpret, post, res, dys):
+    x, ux, vx, uf, prz, pn, h0, ys, gates, hu, rhu, recn = res
+    hprev = jnp.concatenate([h0[None], ys[:-1]], axis=0)
+    vxx = vx if x_lowrank else None
+    dx, duf, dprz, dpn, (dux, dvx, dbias), dh0 = _bwd_call(
+        gates, hu, rhu, (x, ux, vxx), uf, prz, pn, hprev, dys,
+        lowrank=lowrank, interpret=interpret, post=post, recn=recn)
+    if dvx is None:
+        dvx = jnp.zeros_like(vx)
+    return dx, dux, dvx, dbias, duf, dprz, dpn, dh0
+
+
+_scan_core_xin.defvjp(_scan_core_xin_fwd, _scan_core_xin_bwd)
 
 
 def gru_scan_fused(gi, uf, prz, pn, h0, *, mode="pre", interpret=False):
@@ -409,4 +593,57 @@ def gru_scan_fused(gi, uf, prz, pn, h0, *, mode="pre", interpret=False):
         pnp = _pad_to(pn, (hp, hp))
 
     ys = _scan_core(gi3, ufp, przp, pnp, h0p, lowrank, interpret, post)
+    return ys[:, :b, :h]
+
+
+def gru_scan_fused_xin(xs, ux, vx, bias, uf, prz, pn, h0, *, mode="pre",
+                       interpret=False):
+    """Fused GRU scan with the input projection INSIDE the kernel.
+
+    xs: [T, B, F] raw inputs; x side (VMEM-resident): ux [F, rx] with
+    vx [rx, 3h] (low-rank) or ux [F, 3h] with vx=None (dense), bias [3h] —
+    gate order (r, z, n).  h side as `gru_scan_fused`.  Returns ys [T, B, h].
+
+    Streams x (F wide) instead of gi (3h wide) and never materializes gi/dgi
+    in HBM — the same traffic fix as the LSTM kernel's xin mode (measured 2x
+    on the HAR demo there); the GRU x-path has no elementwise term, so only
+    the projection + bias move into the kernel.
+    """
+    t, b, f = xs.shape
+    threeh = bias.shape[-1]
+    h = threeh // 3
+    lowrank = uf is not None
+    x_lowrank = vx is not None
+    post = mode == "post"
+    if post and lowrank:
+        raise ValueError("mode='post' is dense-only (uf must be None)")
+    bp = _round_up(b, 8)
+    hp = _round_up(h, 128)
+    fp = _round_up(f, 128)
+
+    xsp = _pad_to(xs, (t, bp, fp))
+    if x_lowrank:
+        rx = ux.shape[1]
+        rxp = _round_up(rx, 128)
+        uxp = _pad_to(ux, (fp, rxp))
+        vxp = _pad_to(vx.reshape(rx, 3, h), (rxp, 3, hp)).reshape(rxp, 3 * hp)
+    else:
+        uxp = _pad_to(ux.reshape(f, 3, h), (fp, 3, hp)).reshape(fp, 3 * hp)
+        vxp = jnp.zeros((8, 128), jnp.float32)  # unused placeholder
+    biasp = _pad_to(bias.reshape(3, h), (3, hp)).reshape(1, 3 * hp)
+
+    h0p = _pad_to(h0, (bp, hp))
+    if lowrank:
+        r = uf.shape[1]
+        rp = _round_up(r, 128)
+        ufp = _pad_to(uf, (hp, rp))
+        przp = _pad_to(prz.reshape(r, 2, h), (rp, 2, hp)).reshape(rp, 2 * hp)
+        pnp = _pad_to(pn, (rp, hp))
+    else:
+        ufp = jnp.zeros((8, 128), jnp.float32)  # unused placeholder
+        przp = _pad_to(prz.reshape(h, 2, h), (hp, 2, hp)).reshape(hp, 2 * hp)
+        pnp = _pad_to(pn, (hp, hp))
+
+    ys = _scan_core_xin(xsp, uxp, vxp, biasp, ufp, przp, pnp, h0p,
+                        lowrank, x_lowrank, interpret, post)
     return ys[:, :b, :h]
