@@ -184,6 +184,40 @@ def bench_har():
     }
 
 
+def bench_har_variants():
+    """Secondary HAR-family headline configs (machine-checked per round):
+    group-VMLMF demo config and the legacy rank-9 GRU grid, both on the
+    x-fused pallas path.  Fewer iters than the headline — these are
+    regression trip-wires, not the primary metric."""
+    from vmlmf_tpu.cells import GRUCell, VMLMFGroupCell
+    from vmlmf_tpu.nn.models import HARNet
+    from vmlmf_tpu.train.har import HARTrainer
+
+    def run(model, batch=81, t=24, feats=77, fuse=64, iters=5):
+        tr = HARTrainer(model, learning_rate=2e-3, batch_size=batch,
+                        fuse_batches=fuse)
+        p, o = tr.init()
+        xs = jax.random.normal(jax.random.PRNGKey(0), (fuse, batch, t, feats))
+        ys = jax.random.randint(jax.random.PRNGKey(1), (fuse, batch), 0, 18)
+        p, o, losses = tr._fused_steps(p, o, xs, ys)
+        l0 = float(losses[-1])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            p, o, losses = tr._fused_steps(p, o, xs, ys)
+        l1 = float(losses[-1])
+        assert l1 != l0, "training chain did not execute"
+        return batch * iters * fuse / (time.perf_counter() - t0)
+
+    group = run(HARNet(
+        input_size=77, layer_sizes=(180,), backend="pallas",
+        cell_factory=lambda n, h: VMLMFGroupCell(n, h, w_rank=8,
+                                                 u_ranks=(2, 4), groups=2)))
+    gru = run(HARNet(
+        input_size=77, layer_sizes=(64, 64), backend="pallas",
+        cell_factory=lambda n, h: GRUCell(n, h, w_rank=9, u_rank=9)))
+    return {"har_group_seq_per_sec": group, "gru_seq_per_sec": gru}
+
+
 def bench_lm(chip):
     """PTB flagship: 2x650 VMLMF w300/u300, B20/T35, fused-chunk manual SGD
     (training) and no-grad eval (inference) on the winning `pallas` backend
@@ -241,6 +275,10 @@ def main():
     from vmlmf_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
+    # variants first: bench_har's reference-faithful baseline phase hammers
+    # the host-dispatch path and measurably depresses whatever runs next on
+    # this tunneled runtime
+    variants = bench_har_variants()
     har = bench_har()
     lm = bench_lm(har["chip"])
 
@@ -254,6 +292,8 @@ def main():
             "har_mfu": round(har["mfu"], 5),
             "har_fraction_of_roofline": round(har["fraction_of_roofline"], 4),
             "har_bound": har["bound"],
+            "har_group_seq_per_sec": round(variants["har_group_seq_per_sec"], 1),
+            "gru_seq_per_sec": round(variants["gru_seq_per_sec"], 1),
             "lm_train_wps": round(lm["lm_train_wps"], 1),
             "lm_infer_wps": round(lm["lm_infer_wps"], 1),
             "lm_train_mfu": round(lm["lm_train_mfu"], 5),
