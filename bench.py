@@ -86,22 +86,24 @@ def har_train_hbm_bytes(batch, t, feats, hidden, u_rank, n_params):
     fp32.  The x-fused kernel (`ops/pallas_scan.py` xin mode) streams the
     RAW input x instead of the hoisted gi [T,B,4h] and never materializes
     gi/dgi in HBM; the primal returns c_last (no dcs zeros-cotangent
-    stream).  Kernel streams are counted at the PADDED widths the chip
-    actually moves (lane multiples of 128); XLA-side glue at logical widths:
-      fwd kernel:  x read; ys, cs, gates, hu writes
-      bwd kernel:  gates, hu, x, ys (h_prev), cs (c_prev + c_t), dys reads;
-                   dx write
+    stream); the backward RECOMPUTES the gates and h@U residuals batched
+    from x + saved h_prev (default policy), so no [T,B,4h]/[T,B,r] residual
+    streams exist at all.  Kernel streams are counted at the PADDED widths
+    the chip actually moves (lane multiples of 128); XLA-side glue at
+    logical widths:
+      fwd kernel:  x read; ys, cs writes
+      bwd kernel:  x, ys (h_prev), cs (c_prev + c_t), dys reads; dx write
       XLA glue:    x read (pad relayout), ys[-1] head read + dys write,
                    params/grads/opt-state (Adam m, v) ~ 10 accesses of P
     """
     f32 = 4
     pad = lambda n: -(-n // 128) * 128
-    hp, fourhp, fp, rup = pad(hidden), 4 * pad(hidden), pad(feats), pad(u_rank)
+    hp, fp = pad(hidden), pad(feats)
     act = batch * t
     kernel_words = act * (
-        fp + hp + hp + fourhp + rup                # fwd
-        + fourhp + rup + fp + hp + 2 * hp + hp     # bwd reads
-        + fp                                       # dx write
+        fp + hp + hp            # fwd: x read; ys, cs writes
+        + fp + hp + 2 * hp + hp  # bwd reads: x, h_prev, c_prev + c_t, dys
+        + fp                    # dx write
     )
     xla_words = act * (feats + 2 * hidden) + 10 * n_params
     return f32 * (kernel_words + xla_words)

@@ -236,6 +236,35 @@ class TestXinModes:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=3e-4, rtol=3e-4)
 
+    @pytest.mark.parametrize("cell", [
+        VMLMFCell(77, 180, w_rank=8, u_rank=6),
+        LSTMCell(16, 40),
+    ], ids=["vmlmf", "lstm_dense"])
+    def test_recompute_matches_saved_gates(self, cell, monkeypatch):
+        """The x-fused backward's two residual policies must agree: the
+        default batched gates/h@U recompute (no [T,B,4h]/[T,B,r] residual
+        streams) vs VMLMF_PALLAS_SAVED_GATES=1 (zero-recompute, streamed
+        residuals).  Identical math on identical inputs — tight tolerance."""
+        params = cell.init(KEY)
+        xs = jax.random.normal(jax.random.PRNGKey(1), (6, 5, cell.input_size))
+        s0 = (jnp.zeros((5, cell.hidden_size)), jnp.zeros((5, cell.hidden_size)))
+        w_out = jax.random.normal(jax.random.PRNGKey(3), (6, 5, cell.hidden_size))
+
+        def loss(params, xs):
+            prep = cell.prepare(params)
+            ys, (h, c) = scan_layer(cell, prep, xs, s0, backend="pallas")
+            return jnp.sum(ys * w_out) + jnp.sum(jnp.tanh(h)) + 0.5 * jnp.sum(c * c)
+
+        monkeypatch.setenv("VMLMF_PALLAS_XIN", "1")
+        val_r, g_r = jax.value_and_grad(loss, argnums=(0, 1))(params, xs)
+        monkeypatch.setenv("VMLMF_PALLAS_SAVED_GATES", "1")
+        val_s, g_s = jax.value_and_grad(loss, argnums=(0, 1))(params, xs)
+        np.testing.assert_allclose(val_r, val_s, rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g_r),
+                        jax.tree_util.tree_leaves(g_s)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-5)
+
     def test_xin_wide_input(self):
         """F > h exercises the kernel-side pad_features truncation."""
         cell = LSTMCell(200, 32, w_rank=8, u_rank=8)

@@ -156,7 +156,7 @@ def _fit_width(x2, width):
 
 
 def _fwd_kernel(*refs, hp, fp, lowrank, xin, x_lowrank, bf16, sblk,
-                residuals):
+                residuals, save_gates):
     """Grid (batch_blocks, T // sblk); the minor grid dim walks time, each
     grid step running `sblk` recurrence steps (static inner loop) with the
     (h, c) carry in scratch.
@@ -170,10 +170,14 @@ def _fwd_kernel(*refs, hp, fp, lowrank, xin, x_lowrank, bf16, sblk,
         (3 HBM passes per train step) for an F-wide x stream — the
         HBM-traffic fix for narrow-input models (VERDICT r2 item 1).
 
-    With ``residuals`` (the autodiff forward), also saves the
-    post-nonlinearity gates (and, on the low-rank path, the rank-space
+    With ``residuals`` (the autodiff forward) and ``save_gates``, also saves
+    the post-nonlinearity gates (and, on the low-rank path, the rank-space
     activations h@U) so the backward kernel needs zero recompute matmuls on
-    the recurrent path.  The no-grad primal (inference/eval) skips those
+    the recurrent path.  With ``save_gates=False`` (x mode only) neither is
+    written: the backward recomputes gates/h@U from the streamed x and saved
+    h_prev with BATCHED per-time-block matmuls (h_prev is a residual, so the
+    recompute is not on the serial chain) — the memory-bound regime's side of
+    the trade.  The no-grad primal (inference/eval) skips all residual
     outputs entirely — no extra HBM write traffic."""
     it = iter(refs)
     if xin:
@@ -192,7 +196,7 @@ def _fwd_kernel(*refs, hp, fp, lowrank, xin, x_lowrank, bf16, sblk,
     ys_ref = next(it)
     cs_ref = next(it)  # residuals: full [sblk,bt,hp] stream; else [bt,hp] c_last
     gates_ref = hu_ref = None
-    if residuals:
+    if residuals and save_gates:
         gates_ref = next(it)
         if lowrank:
             hu_ref = next(it)
@@ -267,9 +271,11 @@ def _weights_nbytes(*arrs):
 
 
 def _fwd_call(stream, xw, u, v, dvec, h0, c0, *, lowrank, interpret, bf16,
-              residuals):
+              residuals, save_gates=True):
     """stream: gi [T,Bp,4hp] (xw None) or x [T,Bp,Fp] with
-    xw = (ux, vx|None, xdvec, bias) padded x-side weights."""
+    xw = (ux, vx|None, xdvec, bias) padded x-side weights.
+    save_gates=False (x mode only): write no gates/h@U residuals — the
+    backward recomputes them batched."""
     xin = xw is not None
     if xin:
         t, bp, fp = stream.shape
@@ -288,7 +294,7 @@ def _fwd_call(stream, xw, u, v, dvec, h0, c0, *, lowrank, interpret, bf16,
         if xin:
             ux = ux.astype(jnp.bfloat16)
             vx = None if vx is None else vx.astype(jnp.bfloat16)
-    live = (10 if residuals else 8) + (3 if xin else 0)
+    live = (10 if residuals and save_gates else 8) + (3 if xin else 0)
     fixed = _weights_nbytes(u, v, dvec, ux, vx, xdvec, bias)
     sblk, bt = _pick_tiles(t, bp, fourhp, live=live, fixed=fixed) or (1, 8)
     nb = bp // bt if bp % bt == 0 else -(-bp // bt)
@@ -324,19 +330,21 @@ def _fwd_call(stream, xw, u, v, dvec, h0, c0, *, lowrank, interpret, bf16,
         res_dt = _residual_dtype()
         out_specs.append(blk((sblk, bt, hp), step))
         out_shape.append(jax.ShapeDtypeStruct((t, nb * bt, hp), jnp.float32))
-        out_specs.append(blk((sblk, bt, fourhp), step))
-        out_shape.append(jax.ShapeDtypeStruct((t, nb * bt, fourhp), res_dt))
-        if lowrank:
-            rp = u.shape[1]
-            out_specs.append(blk((sblk, bt, rp), step))
-            out_shape.append(jax.ShapeDtypeStruct((t, nb * bt, rp), res_dt))
+        if save_gates:
+            out_specs.append(blk((sblk, bt, fourhp), step))
+            out_shape.append(jax.ShapeDtypeStruct((t, nb * bt, fourhp), res_dt))
+            if lowrank:
+                rp = u.shape[1]
+                out_specs.append(blk((sblk, bt, rp), step))
+                out_shape.append(jax.ShapeDtypeStruct((t, nb * bt, rp), res_dt))
     else:  # c_last row only
         out_specs.append(blk((bt, hp), row))
         out_shape.append(jax.ShapeDtypeStruct((nb * bt, hp), jnp.float32))
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, hp=hp, fp=fp, lowrank=lowrank,
                           xin=xin, x_lowrank=x_lowrank, bf16=bf16,
-                          sblk=sblk, residuals=residuals),
+                          sblk=sblk, residuals=residuals,
+                          save_gates=save_gates),
         grid=(nb, t // sblk),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -348,7 +356,7 @@ def _fwd_call(stream, xw, u, v, dvec, h0, c0, *, lowrank, interpret, bf16,
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(*operands)
-    # residuals: ys, cs, gates (post-nonlinearity) [, hu (rank activations)]
+    # residuals: ys, cs [, gates (post-nonlinearity) [, hu]] (save_gates)
     # no-grad:   ys, c_last
     return tuple(o[:, :bp] if o.ndim == 3 else o[:bp] for o in out)
 
@@ -357,27 +365,40 @@ def _fwd_call(stream, xw, u, v, dvec, h0, c0, *, lowrank, interpret, bf16,
 # backward kernel (reverse grid)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(*refs, hp, fp, lowrank, xin, x_lowrank, bf16, sblk):
+def _bwd_kernel(*refs, hp, fp, lowrank, xin, x_lowrank, bf16, sblk,
+                save_gates):
     """Grid (batch_blocks, T // sblk); grid step k of batch block b processes
     the time block [T - (k+1)·sblk, T - k·sblk) in reverse inside a static
     loop.  dU/dV/ddvec (and, in x mode, dUx/dVx/dxdvec/dbias) accumulate in
     scratch across ALL grid steps.
 
-    Zero recompute on the recurrent path: the forward kernel saved the
-    post-nonlinearity gates and the rank-space activations h@U, so this
-    kernel streams them instead of re-deriving them.  In gi mode it never
-    touches gi at all (dgi is just dpre); in x mode the per-block dpre stack
-    feeds batched x-side gradient matmuls (dx, dUx, dVx — xu is recomputed
-    from the streamed x, one cheap batched matmul, instead of a [T,B,rx]
-    residual round-trip)."""
+    Two residual policies (static `save_gates`):
+      * saved — zero recompute on the recurrent path: the forward kernel
+        saved the post-nonlinearity gates and the rank-space activations h@U,
+        so this kernel streams them instead of re-deriving them.  The right
+        trade when the step is latency-bound (LM: wide 4h, rank-300 factors).
+      * recompute (x mode only) — neither residual exists; gates and h@U are
+        recomputed here from the streamed x and saved h_prev with BATCHED
+        per-time-block matmuls (h_prev is a residual, so the recompute never
+        extends the serial dh chain).  Removes the [T,B,4h] gates write+read
+        and the [T,B,r] h@U write+read — the dominant HBM streams of
+        narrow-input train steps (HAR: ~2.2x fewer kernel bytes).
+
+    In gi mode the kernel never touches gi at all (dgi is just dpre); in x
+    mode the per-block dpre stack feeds batched x-side gradient matmuls
+    (dx, dUx, dVx — xu is recomputed from the streamed x, one cheap batched
+    matmul, instead of a [T,B,rx] residual round-trip)."""
     it = iter(refs)
-    gates_ref = next(it)
-    hu_ref = next(it) if lowrank else None
+    gates_ref = next(it) if save_gates else None
+    hu_ref = next(it) if (lowrank and save_gates) else None
+    bias_ref = None
     if xin:
         x_ref = next(it)
         ux_ref = next(it)
         vx_ref = next(it) if x_lowrank else None
         xdvec_ref = next(it)
+        if not save_gates:
+            bias_ref = next(it)
     u_ref = next(it)
     v_ref = next(it)
     dvec_ref = next(it)
@@ -436,13 +457,52 @@ def _bwd_kernel(*refs, hp, fp, lowrank, xin, x_lowrank, bf16, sblk):
     du_acc = dv_acc = ddvec_acc = None
     dpre_blk = [None] * sblk
 
+    gates_blk = hu_blk = xu2_pre = None
+    if not save_gates:
+        # batched recompute of the whole block's gates (and h@U): identical
+        # op/order to the forward, inputs are residuals, so this never
+        # lengthens the serial dh chain.
+        btk = dys_ref.shape[1]
+        x2r = x_ref[:].reshape(sblk * btk, fp)
+        h2r = hprev_ref[:].reshape(sblk * btk, hp)
+        x2r_mm = x2r.astype(jnp.bfloat16) if bf16 else x2r
+        if x_lowrank:
+            xu2_pre = jnp.dot(x2r_mm, ux_ref[:],
+                              preferred_element_type=jnp.float32)
+            xu2_pre_mm = xu2_pre.astype(jnp.bfloat16) if bf16 else xu2_pre
+            gix = jnp.dot(xu2_pre_mm, vx_ref[:],
+                          preferred_element_type=jnp.float32)
+        else:
+            gix = jnp.dot(x2r_mm, ux_ref[:], preferred_element_type=jnp.float32)
+        xpad2 = _fit_width(x2r, hp)
+        gix = gix + jnp.concatenate([xpad2] * 4, -1) * xdvec_ref[:] + bias_ref[:]
+        h2r_mm = h2r.astype(jnp.bfloat16) if bf16 else h2r
+        if lowrank:
+            hu2 = jnp.dot(h2r_mm, u_ref[:], preferred_element_type=jnp.float32)
+            hu2_mm = hu2.astype(jnp.bfloat16) if bf16 else hu2
+            gr2 = jnp.dot(hu2_mm, v_ref[:], preferred_element_type=jnp.float32)
+            hu_blk = hu2.reshape(sblk, btk, hu2.shape[-1])
+        else:
+            gr2 = jnp.dot(h2r_mm, u_ref[:], preferred_element_type=jnp.float32)
+        htile2 = jnp.concatenate([h2r] * 4, axis=-1)
+        pre2 = gix + gr2 + htile2 * dvec_ref[:]
+        gates_blk = jnp.concatenate([
+            jax.nn.sigmoid(pre2[:, :hp]),
+            jax.nn.sigmoid(pre2[:, hp:2 * hp]),
+            jnp.tanh(pre2[:, 2 * hp:3 * hp]),
+            jax.nn.sigmoid(pre2[:, 3 * hp:]),
+        ], axis=-1).reshape(sblk, btk, 4 * hp)
+
     for st in range(sblk - 1, -1, -1):
         h_prev = hprev_ref[st]
         c_prev = cprev_ref[st]
         c_t = cs_ref[st]
 
         h_mm = h_prev.astype(jnp.bfloat16) if bf16 else h_prev
-        gates = gates_ref[st].astype(jnp.float32)  # residual may be bf16
+        if save_gates:
+            gates = gates_ref[st].astype(jnp.float32)  # residual may be bf16
+        else:
+            gates = gates_blk[st]
         i = gates[:, :hp]
         f = gates[:, hp:2 * hp]
         g = gates[:, 2 * hp:3 * hp]
@@ -485,7 +545,10 @@ def _bwd_kernel(*refs, hp, fp, lowrank, xin, x_lowrank, bf16, sblk):
             dh_prev = dh_prev + jnp.dot(dhu_mm, u_ref[:].T,
                                         preferred_element_type=jnp.float32)
             du_t = jnp.dot(h_mm.T, dhu_mm, preferred_element_type=jnp.float32)
-            hu = hu_ref[st].astype(jnp.float32)  # residual may be bf16
+            if save_gates:
+                hu = hu_ref[st].astype(jnp.float32)  # residual may be bf16
+            else:
+                hu = hu_blk[st]
             hu_mm = hu.astype(jnp.bfloat16) if bf16 else hu
             dv_t = jnp.dot(hu_mm.T, dpre_mm, preferred_element_type=jnp.float32)
             dv_acc = dv_t if dv_acc is None else dv_acc + dv_t
@@ -510,7 +573,9 @@ def _bwd_kernel(*refs, hp, fp, lowrank, xin, x_lowrank, bf16, sblk):
             dxu_mm = dxu.astype(jnp.bfloat16) if bf16 else dxu
             dx2 = jnp.dot(dxu_mm, ux_ref[:].T,
                           preferred_element_type=jnp.float32)
-            xu2 = jnp.dot(x2_mm, ux_ref[:], preferred_element_type=jnp.float32)
+            # xu already computed by the gates recompute; else one batched op
+            xu2 = xu2_pre if xu2_pre is not None else jnp.dot(
+                x2_mm, ux_ref[:], preferred_element_type=jnp.float32)
             xu2_mm = xu2.astype(jnp.bfloat16) if bf16 else xu2
             dux_s[:] += jnp.dot(x2_mm.T, dxu_mm,
                                 preferred_element_type=jnp.float32)
@@ -559,19 +624,21 @@ def _bwd_kernel(*refs, hp, fp, lowrank, xin, x_lowrank, bf16, sblk):
 
 
 def _bwd_call(gates, hu, xres, u, v, dvec, hprev, cprev, cs, dys, dclast,
-              *, lowrank, interpret, bf16):
-    """xres: None (gi mode — dgi streams out) or (x, ux, vx|None, xdvec)
-    padded x-side residuals/weights (x mode — dx streams out and the x-side
-    weight gradients come back as whole arrays)."""
-    t, bp, fourhp = gates.shape
-    hp = fourhp // 4
+              *, lowrank, interpret, bf16, save_gates=True):
+    """xres: None (gi mode — dgi streams out) or
+    (x, ux, vx|None, xdvec, bias|None) padded x-side residuals/weights
+    (x mode — dx streams out and the x-side weight gradients come back as
+    whole arrays).  save_gates=False (x mode only): gates/hu are None and get
+    recomputed inside the kernel (bias required)."""
+    t, bp, hp = dys.shape
+    fourhp = 4 * hp
     xin = xres is not None
     if xin:
-        x, ux, vx, xdvec = xres
+        x, ux, vx, xdvec, bias = xres
         x_lowrank = vx is not None
         fp = x.shape[-1]
     else:
-        x = ux = vx = xdvec = None
+        x = ux = vx = xdvec = bias = None
         x_lowrank = False
         fp = fourhp
     if bf16:
@@ -580,12 +647,13 @@ def _bwd_call(gates, hu, xres, u, v, dvec, hprev, cprev, cs, dys, dclast,
         if xin:
             ux = ux.astype(jnp.bfloat16)
             vx = None if vx is None else vx.astype(jnp.bfloat16)
-    live = 16 + (4 if xin else 0)
+    live = 16 + (4 if xin else 0) + (0 if save_gates else 8)
     fixed = 2 * _weights_nbytes(u, v, dvec, ux, vx, xdvec)  # operand + grad acc
     sblk, bt = _pick_tiles(t, bp, fourhp, live=live, fixed=fixed) or (1, 8)
     nb = bp // bt if bp % bt == 0 else -(-bp // bt)
     bpad = nb * bt
-    gates = _pad_to(gates, (t, bpad, fourhp))
+    if save_gates:
+        gates = _pad_to(gates, (t, bpad, fourhp))
     hprev = _pad_to(hprev, (t, bpad, hp))
     cprev = _pad_to(cprev, (t, bpad, hp))
     cs = _pad_to(cs, (t, bpad, hp))
@@ -600,18 +668,22 @@ def _bwd_call(gates, hu, xres, u, v, dvec, hprev, cprev, cs, dys, dclast,
     def blk(shape, idx):
         return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
 
-    in_specs = [blk((sblk, bt, fourhp), rev)]                        # gates
-    operands = [gates]
-    if lowrank:
-        rp = hu.shape[-1]
-        hu = _pad_to(hu, (t, bpad, rp))
-        in_specs.append(blk((sblk, bt, rp), rev))                    # h@U
-        operands.append(hu)
+    in_specs = []
+    operands = []
+    if save_gates:
+        in_specs.append(blk((sblk, bt, fourhp), rev))                # gates
+        operands.append(gates)
+        if lowrank:
+            rp = hu.shape[-1]
+            hu = _pad_to(hu, (t, bpad, rp))
+            in_specs.append(blk((sblk, bt, rp), rev))                # h@U
+            operands.append(hu)
     if xin:
         x = _pad_to(x, (t, bpad, fp))
         in_specs.append(blk((sblk, bt, fp), rev))                    # x
         operands.append(x)
-        for w in (ux, vx, xdvec):
+        xws = (ux, vx, xdvec) if save_gates else (ux, vx, xdvec, bias)
+        for w in xws:
             if w is not None:
                 in_specs.append(blk(w.shape, const))
                 operands.append(w)
@@ -662,7 +734,8 @@ def _bwd_call(gates, hu, xres, u, v, dvec, hprev, cprev, cs, dys, dclast,
 
     out = pl.pallas_call(
         functools.partial(_bwd_kernel, hp=hp, fp=fp, lowrank=lowrank,
-                          xin=xin, x_lowrank=x_lowrank, bf16=bf16, sblk=sblk),
+                          xin=xin, x_lowrank=x_lowrank, bf16=bf16, sblk=sblk,
+                          save_gates=save_gates),
         grid=(nb, ntb),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -724,9 +797,9 @@ def _scan_core_bwd(lowrank, interpret, bf16, res, cts):
 _scan_core.defvjp(_scan_core_fwd, _scan_core_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
 def _scan_core_xin(x, ux, vx, xdvec, bias, u, v, dvec, h0, c0,
-                   lowrank, x_lowrank, interpret, bf16):
+                   lowrank, x_lowrank, interpret, bf16, save_gates):
     vxx = vx if x_lowrank else None
     ys, c_last = _fwd_call(x, (ux, vxx, xdvec, bias), u, v, dvec, h0, c0,
                            lowrank=lowrank, interpret=interpret, bf16=bf16,
@@ -735,26 +808,29 @@ def _scan_core_xin(x, ux, vx, xdvec, bias, u, v, dvec, h0, c0,
 
 
 def _scan_core_xin_fwd(x, ux, vx, xdvec, bias, u, v, dvec, h0, c0,
-                       lowrank, x_lowrank, interpret, bf16):
+                       lowrank, x_lowrank, interpret, bf16, save_gates):
     vxx = vx if x_lowrank else None
     out = _fwd_call(x, (ux, vxx, xdvec, bias), u, v, dvec, h0, c0,
                     lowrank=lowrank, interpret=interpret, bf16=bf16,
-                    residuals=True)
-    ys, cs, gates = out[:3]
-    hu = out[3] if lowrank else None
+                    residuals=True, save_gates=save_gates)
+    ys, cs = out[:2]
+    gates = out[2] if save_gates else None
+    hu = out[3] if (lowrank and save_gates) else None
     return ((ys, cs[-1]),
-            (x, ux, vx, xdvec, u, v, dvec, h0, c0, ys, cs, gates, hu))
+            (x, ux, vx, xdvec, bias, u, v, dvec, h0, c0, ys, cs, gates, hu))
 
 
-def _scan_core_xin_bwd(lowrank, x_lowrank, interpret, bf16, res, cts):
+def _scan_core_xin_bwd(lowrank, x_lowrank, interpret, bf16, save_gates,
+                       res, cts):
     dys, dclast = cts
-    x, ux, vx, xdvec, u, v, dvec, h0, c0, ys, cs, gates, hu = res
+    x, ux, vx, xdvec, bias, u, v, dvec, h0, c0, ys, cs, gates, hu = res
     hprev = jnp.concatenate([h0[None], ys[:-1]], axis=0)
     cprev = jnp.concatenate([c0[None], cs[:-1]], axis=0)
     vxx = vx if x_lowrank else None
     dx, du, dv, ddvec, (dux, dvx, dxdvec, dbias), dh0, dc0 = _bwd_call(
-        gates, hu, (x, ux, vxx, xdvec), u, v, dvec, hprev, cprev, cs,
-        dys, dclast, lowrank=lowrank, interpret=interpret, bf16=bf16)
+        gates, hu, (x, ux, vxx, xdvec, bias), u, v, dvec, hprev, cprev, cs,
+        dys, dclast, lowrank=lowrank, interpret=interpret, bf16=bf16,
+        save_gates=save_gates)
     if dvx is None:
         dvx = jnp.zeros_like(vx)
     return dx, dux, dvx, dxdvec, dbias, du, dv, ddvec, dh0, dc0
@@ -820,6 +896,14 @@ def lstm_scan_fused_xin(xs, ux, vx, xdvec, bias, u, v, dvec, h0, c0, *,
     replacing them with 2 passes of [T, B, F].  The win scales with 4h / F;
     it is the roofline fix for narrow-input models (HAR: F=77, 4h=720).
 
+    By default the backward additionally RECOMPUTES the gates and h@U
+    residuals from the streamed x and saved h_prev (batched per time block,
+    off the serial chain) instead of round-tripping them through HBM —
+    removing the [T,B,4h] gates write+read and [T,B,r] h@U write+read, the
+    dominant remaining streams of the train step.  Set
+    VMLMF_PALLAS_SAVED_GATES=1 to restore the zero-recompute residual policy
+    (the latency-bound regime's trade, as used by the gi-mode kernel).
+
     Gradients flow to every input via the paired backward kernel, which
     computes dx and the x-side weight gradients with batched per-time-block
     matmuls (xu recomputed from the streamed x — cheaper than a residual
@@ -860,8 +944,10 @@ def lstm_scan_fused_xin(xs, ux, vx, xdvec, bias, u, v, dvec, h0, c0, *,
         vp = jnp.zeros((8, 128), jnp.float32)  # unused placeholder
 
     bf16 = precision == "bf16"
+    save_gates = os.environ.get("VMLMF_PALLAS_SAVED_GATES") == "1"
     ys, c_last = _scan_core_xin(xsp, uxp, vxp, xdvecp, biasp, up, vp, dvec4,
-                                h0p, c0p, lowrank, x_lowrank, interpret, bf16)
+                                h0p, c0p, lowrank, x_lowrank, interpret, bf16,
+                                save_gates)
     return ys[:, :b, :h], c_last[:b, :h]
 
 
