@@ -265,6 +265,34 @@ class TestXinModes:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5, rtol=1e-5)
 
+    def test_gru_recompute_matches_saved_gates(self, monkeypatch):
+        """Same two residual policies on the GRU x-fused backward (low-rank
+        'pre' form and the group 'post' form)."""
+        from vmlmf_tpu.cells import GRUCell, GRUGroupCell
+
+        for cell in (GRUCell(10, 48, w_rank=6, u_rank=6),
+                     GRUGroupCell(10, 48, u_ranks=(2, 4, 6), groups=3)):
+            params = cell.init(KEY)
+            xs = jax.random.normal(jax.random.PRNGKey(1), (6, 5, 10))
+            h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(2), (5, 48))
+            w_out = jax.random.normal(jax.random.PRNGKey(3), (6, 5, 48))
+
+            def loss(params, xs, cell=cell):
+                prep = cell.prepare(params)
+                ys, hf = scan_layer(cell, prep, xs, h0, backend="pallas")
+                return jnp.sum(ys * w_out) + jnp.sum(jnp.tanh(hf))
+
+            monkeypatch.setenv("VMLMF_PALLAS_XIN", "1")
+            monkeypatch.delenv("VMLMF_PALLAS_SAVED_GATES", raising=False)
+            val_r, g_r = jax.value_and_grad(loss, argnums=(0, 1))(params, xs)
+            monkeypatch.setenv("VMLMF_PALLAS_SAVED_GATES", "1")
+            val_s, g_s = jax.value_and_grad(loss, argnums=(0, 1))(params, xs)
+            np.testing.assert_allclose(val_r, val_s, rtol=1e-6)
+            for a, b in zip(jax.tree_util.tree_leaves(g_r),
+                            jax.tree_util.tree_leaves(g_s)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=1e-5, rtol=1e-5)
+
     def test_xin_wide_input(self):
         """F > h exercises the kernel-side pad_features truncation."""
         cell = LSTMCell(200, 32, w_rank=8, u_rank=8)

@@ -16,15 +16,20 @@ gates (r, z) from ``h @ U_rz``, candidate from ``(r ⊙ h) @ U_n`` (reset applie
 Same execution design as `pallas_scan`: factors + carry resident in VMEM,
 per-step gate inputs streamed with double buffering, (time-block × batch-tile)
 grid chosen against the VMEM stack model, reverse-grid backward kernel that
-accumulates parameter grads in VMEM.  Like the LSTM kernel, the forward saves
-the gate activations (r, z, n) and the rank-space products h@U_f, (r⊙h)@U_f,
-so the backward performs zero recompute matmuls (down from four per step) and
-never re-streams gi.
+accumulates parameter grads in VMEM.  Two residual policies, as in
+`pallas_scan`: in gi mode the forward saves the gate activations (r, z, n)
+and the rank-space products h@U_f, (r⊙h)@U_f so the backward performs zero
+recompute matmuls and never re-streams gi; in x mode (default) the backward
+RECOMPUTES them from the streamed x and saved h_prev with batched
+per-time-block matmuls — h_prev is a residual, so the recompute is off the
+serial chain, and the [T,B,3h] gates + 2×[T,B,r] rank streams never touch
+HBM at all (VMLMF_PALLAS_SAVED_GATES=1 restores the saved policy).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -44,7 +49,8 @@ from vmlmf_tpu.ops.pallas_scan import (
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(*refs, hp, fp, lowrank, xin, x_lowrank, sblk, residuals, post):
+def _fwd_kernel(*refs, hp, fp, lowrank, xin, x_lowrank, sblk, residuals, post,
+                save_gates):
     it = iter(refs)
     if xin:
         x_ref = next(it)
@@ -59,7 +65,7 @@ def _fwd_kernel(*refs, hp, fp, lowrank, xin, x_lowrank, sblk, residuals, post):
     h0_ref = next(it)
     ys_ref = next(it)
     gates_ref = hu_ref = rhu_ref = recn_ref = None
-    if residuals:
+    if residuals and save_gates:
         gates_ref = next(it)
         if lowrank:
             hu_ref = next(it)
@@ -123,9 +129,11 @@ def _fwd_kernel(*refs, hp, fp, lowrank, xin, x_lowrank, sblk, residuals, post):
 
 
 def _fwd_call(stream, xw, uf, prz, pn, h0, *, lowrank, interpret, residuals,
-              post=False):
+              post=False, save_gates=True):
     """stream: gi [T,Bp,3hp] (xw None) or x [T,Bp,Fp] with
-    xw = (ux, vx|None, bias) padded x-side weights."""
+    xw = (ux, vx|None, bias) padded x-side weights.  save_gates=False
+    (x mode only): write no residuals beyond ys — the backward recomputes
+    gates/hu/rhu/recn batched."""
     xin = xw is not None
     if xin:
         t, bp, fp = stream.shape
@@ -138,7 +146,7 @@ def _fwd_call(stream, xw, uf, prz, pn, h0, *, lowrank, interpret, residuals,
         ux = vx = bias = None
         x_lowrank = False
     hp = threehp // 3
-    live = (10 if residuals else 8) + (3 if xin else 0)
+    live = (10 if residuals and save_gates else 8) + (3 if xin else 0)
     fixed = _weights_nbytes(uf, prz, pn, ux, vx, bias)
     sblk, bt = _pick_tiles(t, bp, threehp, live=live, fixed=fixed) or (1, 8)
     nb = bp // bt if bp % bt == 0 else -(-bp // bt)
@@ -168,7 +176,7 @@ def _fwd_call(stream, xw, uf, prz, pn, h0, *, lowrank, interpret, residuals,
     ]
     out_specs = [blk((sblk, bt, hp), step)]
     out_shape = [jax.ShapeDtypeStruct((t, nb * bt, hp), jnp.float32)]
-    if residuals:
+    if residuals and save_gates:
         out_specs.append(blk((sblk, bt, threehp), step))
         out_shape.append(jax.ShapeDtypeStruct((t, nb * bt, threehp), jnp.float32))
         if lowrank:
@@ -184,7 +192,8 @@ def _fwd_call(stream, xw, uf, prz, pn, h0, *, lowrank, interpret, residuals,
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, hp=hp, fp=fp, lowrank=lowrank,
                           xin=xin, x_lowrank=x_lowrank, sblk=sblk,
-                          residuals=residuals, post=post),
+                          residuals=residuals, post=post,
+                          save_gates=save_gates),
         grid=(nb, t // sblk),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -201,19 +210,23 @@ def _fwd_call(stream, xw, uf, prz, pn, h0, *, lowrank, interpret, residuals,
 # backward (reverse grid)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(*refs, hp, fp, lowrank, xin, x_lowrank, sblk, post):
+def _bwd_kernel(*refs, hp, fp, lowrank, xin, x_lowrank, sblk, post,
+                save_gates):
     it = iter(refs)
-    gates_ref = next(it)
-    hu_ref = rhu_ref = recn_ref = None
-    if lowrank:
-        hu_ref = next(it)
-        rhu_ref = next(it)
-    elif post:
-        recn_ref = next(it)
+    gates_ref = next(it) if save_gates else None
+    hu_ref = rhu_ref = recn_ref = bias_ref = None
+    if save_gates:
+        if lowrank:
+            hu_ref = next(it)
+            rhu_ref = next(it)
+        elif post:
+            recn_ref = next(it)
     if xin:
         x_ref = next(it)
         ux_ref = next(it)
         vx_ref = next(it) if x_lowrank else None
+        if not save_gates:
+            bias_ref = next(it)
     uf_ref = next(it)
     prz_ref = next(it)
     pn_ref = next(it)
@@ -261,11 +274,49 @@ def _bwd_kernel(*refs, hp, fp, lowrank, xin, x_lowrank, sblk, post):
     duf_acc = dprz_acc = dpn_acc = None
     dpre_blk = [None] * sblk
 
+    gates_blk = hu_blk = rhu_blk = recn_blk = xu2_pre = None
+    if not save_gates:
+        # batched recompute of the whole block's activations — identical
+        # op/order to the forward; inputs are residuals, so this never
+        # lengthens the serial dh chain.
+        btk = dys_ref.shape[1]
+        x2r = x_ref[:].reshape(sblk * btk, fp)
+        h2r = hprev_ref[:].reshape(sblk * btk, hp)
+        if x_lowrank:
+            xu2_pre = jnp.dot(x2r, ux_ref[:], preferred_element_type=jnp.float32)
+            gi2 = jnp.dot(xu2_pre, vx_ref[:], preferred_element_type=jnp.float32)
+        else:
+            gi2 = jnp.dot(x2r, ux_ref[:], preferred_element_type=jnp.float32)
+        gi2 = gi2 + bias_ref[:]
+        if lowrank:
+            hu2 = jnp.dot(h2r, uf_ref[:], preferred_element_type=jnp.float32)
+            rz2 = jnp.dot(hu2, prz_ref[:], preferred_element_type=jnp.float32)
+            hu_blk = hu2.reshape(sblk, btk, hu2.shape[-1])
+        else:
+            rz2 = jnp.dot(h2r, prz_ref[:], preferred_element_type=jnp.float32)
+        r2 = jax.nn.sigmoid(gi2[:, :hp] + rz2[:, :hp])
+        z2 = jax.nn.sigmoid(gi2[:, hp:2 * hp] + rz2[:, hp:])
+        if post:
+            recn2 = jnp.dot(h2r, pn_ref[:], preferred_element_type=jnp.float32)
+            n2 = jnp.tanh(gi2[:, 2 * hp:] + r2 * recn2)
+            recn_blk = recn2.reshape(sblk, btk, hp)
+        else:
+            rh2 = r2 * h2r
+            if lowrank:
+                rhu2 = jnp.dot(rh2, uf_ref[:], preferred_element_type=jnp.float32)
+                nn2 = jnp.dot(rhu2, pn_ref[:], preferred_element_type=jnp.float32)
+                rhu_blk = rhu2.reshape(sblk, btk, rhu2.shape[-1])
+            else:
+                nn2 = jnp.dot(rh2, pn_ref[:], preferred_element_type=jnp.float32)
+            n2 = jnp.tanh(gi2[:, 2 * hp:] + nn2)
+        gates_blk = jnp.concatenate([r2, z2, n2],
+                                    axis=-1).reshape(sblk, btk, 3 * hp)
+
     for st in range(sblk - 1, -1, -1):
         h_prev = hprev_ref[st]
 
-        # saved forward activations — zero recompute
-        gates = gates_ref[st]
+        # forward activations: saved (zero recompute) or batch-recomputed
+        gates = gates_ref[st] if save_gates else gates_blk[st]
         r = gates[:, :hp]
         z = gates[:, hp:2 * hp]
         n = gates[:, 2 * hp:]
@@ -279,7 +330,7 @@ def _bwd_kernel(*refs, hp, fp, lowrank, xin, x_lowrank, sblk, post):
         dn_pre = dn * (1.0 - n * n)                      # d gi_n
         if post:
             # n_pre = gi_n + r · rec_n, rec_n = h_prev @ P_n
-            recn = recn_ref[st]
+            recn = recn_ref[st] if save_gates else recn_blk[st]
             drecn = dn_pre * r
             dr = dn_pre * recn
             dpn_t = jnp.dot(h_prev.T, drecn, preferred_element_type=jnp.float32)
@@ -287,7 +338,8 @@ def _bwd_kernel(*refs, hp, fp, lowrank, xin, x_lowrank, sblk, post):
                                         preferred_element_type=jnp.float32)
         elif lowrank:
             drhu = jnp.dot(dn_pre, pn_ref[:].T, preferred_element_type=jnp.float32)
-            dpn_t = jnp.dot(rhu_ref[st].T, dn_pre, preferred_element_type=jnp.float32)
+            rhu_st = rhu_ref[st] if save_gates else rhu_blk[st]
+            dpn_t = jnp.dot(rhu_st.T, dn_pre, preferred_element_type=jnp.float32)
             drh = jnp.dot(drhu, uf_ref[:].T, preferred_element_type=jnp.float32)
             duf_t = jnp.dot(rh.T, drhu, preferred_element_type=jnp.float32)
         else:
@@ -302,7 +354,8 @@ def _bwd_kernel(*refs, hp, fp, lowrank, xin, x_lowrank, sblk, post):
         drz = jnp.concatenate([dr_pre, dz_pre], axis=-1)
         if lowrank:
             dhu = jnp.dot(drz, prz_ref[:].T, preferred_element_type=jnp.float32)
-            dprz_t = jnp.dot(hu_ref[st].T, drz, preferred_element_type=jnp.float32)
+            hu_st = hu_ref[st] if save_gates else hu_blk[st]
+            dprz_t = jnp.dot(hu_st.T, drz, preferred_element_type=jnp.float32)
             dh_prev = dh_prev + jnp.dot(dhu, uf_ref[:].T,
                                         preferred_element_type=jnp.float32)
             duf_t = duf_t + jnp.dot(h_prev.T, dhu, preferred_element_type=jnp.float32)
@@ -329,7 +382,9 @@ def _bwd_kernel(*refs, hp, fp, lowrank, xin, x_lowrank, sblk, post):
         if x_lowrank:
             dxu = jnp.dot(dpre2, vx_ref[:].T, preferred_element_type=jnp.float32)
             dx2 = jnp.dot(dxu, ux_ref[:].T, preferred_element_type=jnp.float32)
-            xu2 = jnp.dot(x2, ux_ref[:], preferred_element_type=jnp.float32)
+            # xu already computed by the recompute pass; else one batched op
+            xu2 = xu2_pre if xu2_pre is not None else jnp.dot(
+                x2, ux_ref[:], preferred_element_type=jnp.float32)
             dux_s[:] += jnp.dot(x2.T, dxu, preferred_element_type=jnp.float32)
             dvx_s[:] += jnp.dot(xu2.T, dpre2, preferred_element_type=jnp.float32)
         else:
@@ -361,25 +416,28 @@ def _bwd_kernel(*refs, hp, fp, lowrank, xin, x_lowrank, sblk, post):
 
 
 def _bwd_call(gates, hu, rhu, xres, uf, prz, pn, hprev, dys, *, lowrank,
-              interpret, post=False, recn=None):
-    """xres: None (gi mode) or (x, ux, vx|None) padded x-side residuals."""
-    t, bp, threehp = gates.shape
-    hp = threehp // 3
+              interpret, post=False, recn=None, save_gates=True):
+    """xres: None (gi mode) or (x, ux, vx|None, bias|None) padded x-side
+    residuals.  save_gates=False (x mode only): gates/hu/rhu/recn are None
+    and get recomputed inside the kernel (bias required)."""
+    t, bp, hp = dys.shape
+    threehp = 3 * hp
     xin = xres is not None
     if xin:
-        x, ux, vx = xres
+        x, ux, vx, bias = xres
         x_lowrank = vx is not None
         fp = x.shape[-1]
     else:
-        x = ux = vx = None
+        x = ux = vx = bias = None
         x_lowrank = False
         fp = threehp
-    live = 16 + (4 if xin else 0)
+    live = 16 + (4 if xin else 0) + (0 if save_gates else 8)
     fixed = 2 * _weights_nbytes(uf, prz, pn, ux, vx)
     sblk, bt = _pick_tiles(t, bp, threehp, live=live, fixed=fixed) or (1, 8)
     nb = bp // bt if bp % bt == 0 else -(-bp // bt)
     bpad = nb * bt
-    gates = _pad_to(gates, (t, bpad, threehp))
+    if save_gates:
+        gates = _pad_to(gates, (t, bpad, threehp))
     hprev = _pad_to(hprev, (t, bpad, hp))
     dys = _pad_to(dys, (t, bpad, hp))
 
@@ -391,26 +449,30 @@ def _bwd_call(gates, hu, rhu, xres, uf, prz, pn, hprev, dys, *, lowrank,
     def blk(shape, idx):
         return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
 
-    in_specs = [blk((sblk, bt, threehp), rev)]                     # gates
-    operands = [gates]
-    if lowrank:
-        rp = hu.shape[-1]
-        hu = _pad_to(hu, (t, bpad, rp))
-        rhu = _pad_to(rhu, (t, bpad, rp))
-        in_specs += [
-            blk((sblk, bt, rp), rev),   # h@Uf
-            blk((sblk, bt, rp), rev),   # (r h)@Uf
-        ]
-        operands += [hu, rhu]
-    elif post:
-        recn = _pad_to(recn, (t, bpad, hp))
-        in_specs += [blk((sblk, bt, hp), rev)]                     # rec_n
-        operands += [recn]
+    in_specs = []
+    operands = []
+    if save_gates:
+        in_specs.append(blk((sblk, bt, threehp), rev))             # gates
+        operands.append(gates)
+        if lowrank:
+            rp = hu.shape[-1]
+            hu = _pad_to(hu, (t, bpad, rp))
+            rhu = _pad_to(rhu, (t, bpad, rp))
+            in_specs += [
+                blk((sblk, bt, rp), rev),   # h@Uf
+                blk((sblk, bt, rp), rev),   # (r h)@Uf
+            ]
+            operands += [hu, rhu]
+        elif post:
+            recn = _pad_to(recn, (t, bpad, hp))
+            in_specs += [blk((sblk, bt, hp), rev)]                 # rec_n
+            operands += [recn]
     if xin:
         x = _pad_to(x, (t, bpad, fp))
         in_specs.append(blk((sblk, bt, fp), rev))                  # x
         operands.append(x)
-        for w in (ux, vx):
+        xws = (ux, vx) if save_gates else (ux, vx, bias)
+        for w in xws:
             if w is not None:
                 in_specs.append(blk(w.shape, const))
                 operands.append(w)
@@ -456,7 +518,8 @@ def _bwd_call(gates, hu, rhu, xres, uf, prz, pn, hprev, dys, *, lowrank,
 
     out = pl.pallas_call(
         functools.partial(_bwd_kernel, hp=hp, fp=fp, lowrank=lowrank,
-                          xin=xin, x_lowrank=x_lowrank, sblk=sblk, post=post),
+                          xin=xin, x_lowrank=x_lowrank, sblk=sblk, post=post,
+                          save_gates=save_gates),
         grid=(nb, ntb),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -517,9 +580,9 @@ def _scan_core_bwd(lowrank, interpret, post, res, dys):
 _scan_core.defvjp(_scan_core_fwd, _scan_core_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
 def _scan_core_xin(x, ux, vx, bias, uf, prz, pn, h0,
-                   lowrank, x_lowrank, interpret, post):
+                   lowrank, x_lowrank, interpret, post, save_gates):
     vxx = vx if x_lowrank else None
     (ys,) = _fwd_call(x, (ux, vxx, bias), uf, prz, pn, h0, lowrank=lowrank,
                       interpret=interpret, residuals=False, post=post)
@@ -527,26 +590,31 @@ def _scan_core_xin(x, ux, vx, bias, uf, prz, pn, h0,
 
 
 def _scan_core_xin_fwd(x, ux, vx, bias, uf, prz, pn, h0,
-                       lowrank, x_lowrank, interpret, post):
+                       lowrank, x_lowrank, interpret, post, save_gates):
     vxx = vx if x_lowrank else None
     out = _fwd_call(x, (ux, vxx, bias), uf, prz, pn, h0, lowrank=lowrank,
-                    interpret=interpret, residuals=True, post=post)
-    ys, gates = out[:2]
-    hu = rhu = recn = None
-    if lowrank:
-        hu, rhu = out[2], out[3]
-    elif post:
-        recn = out[2]
-    return ys, (x, ux, vx, uf, prz, pn, h0, ys, gates, hu, rhu, recn)
+                    interpret=interpret, residuals=True, post=post,
+                    save_gates=save_gates)
+    ys = out[0]
+    gates = hu = rhu = recn = None
+    if save_gates:
+        gates = out[1]
+        if lowrank:
+            hu, rhu = out[2], out[3]
+        elif post:
+            recn = out[2]
+    return ys, (x, ux, vx, bias, uf, prz, pn, h0, ys, gates, hu, rhu, recn)
 
 
-def _scan_core_xin_bwd(lowrank, x_lowrank, interpret, post, res, dys):
-    x, ux, vx, uf, prz, pn, h0, ys, gates, hu, rhu, recn = res
+def _scan_core_xin_bwd(lowrank, x_lowrank, interpret, post, save_gates,
+                       res, dys):
+    x, ux, vx, bias, uf, prz, pn, h0, ys, gates, hu, rhu, recn = res
     hprev = jnp.concatenate([h0[None], ys[:-1]], axis=0)
     vxx = vx if x_lowrank else None
     dx, duf, dprz, dpn, (dux, dvx, dbias), dh0 = _bwd_call(
-        gates, hu, rhu, (x, ux, vxx), uf, prz, pn, hprev, dys,
-        lowrank=lowrank, interpret=interpret, post=post, recn=recn)
+        gates, hu, rhu, (x, ux, vxx, bias), uf, prz, pn, hprev, dys,
+        lowrank=lowrank, interpret=interpret, post=post, recn=recn,
+        save_gates=save_gates)
     if dvx is None:
         dvx = jnp.zeros_like(vx)
     return dx, dux, dvx, dbias, duf, dprz, dpn, dh0
@@ -644,6 +712,7 @@ def gru_scan_fused_xin(xs, ux, vx, bias, uf, prz, pn, h0, *, mode="pre",
         przp = _pad_to(prz.reshape(h, 2, h), (hp, 2, hp)).reshape(hp, 2 * hp)
         pnp = _pad_to(pn, (hp, hp))
 
+    save_gates = os.environ.get("VMLMF_PALLAS_SAVED_GATES") == "1"
     ys = _scan_core_xin(xsp, uxp, vxp, biasp, ufp, przp, pnp, h0p,
-                        lowrank, x_lowrank, interpret, post)
+                        lowrank, x_lowrank, interpret, post, save_gates)
     return ys[:, :b, :h]
