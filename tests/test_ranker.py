@@ -1,0 +1,249 @@
+"""Session-based next-item ranking scorer (`serve.ranker`).
+
+The north-star stretch config (BASELINE.json configs[4]): VMLMF session
+encoder + row-sharded item-embedding table + distributed top-K.  The key
+oracle: sharded top-K over the 8-virtual-device mesh must equal the
+unsharded single-device ranking for a catalog of >= 100k items.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vmlmf_tpu.parallel.mesh import make_mesh
+from vmlmf_tpu.parallel.sharding import lm_param_sharding
+from vmlmf_tpu.serve.ranker import SessionRanker
+
+KEY = jax.random.PRNGKey(0)
+
+
+def small_ranker(num_items=64, hidden=16, layers=1, tie=True):
+    return SessionRanker.create(
+        num_items, hidden_size=hidden, num_layers=layers,
+        w_rank=4, u_rank=4, tie_items=tie, backend="xla")
+
+
+class TestEncodeAndScore:
+    def test_encode_shapes_and_state_carry(self):
+        r = small_ranker()
+        params = r.init(KEY)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (7, 5), 0, 64)
+        h, states = r.encode(params, ids)
+        assert h.shape == (5, 16)
+        # the session vector is the last layer's final hidden state
+        np.testing.assert_allclose(h, states[-1][0], rtol=1e-6)
+        # continuing the session from carried state == encoding the concat
+        ids2 = jax.random.randint(jax.random.PRNGKey(2), (4, 5), 0, 64)
+        h2, _ = r.encode(params, ids2, states)
+        h_full, _ = r.encode(params, jnp.concatenate([ids, ids2], axis=0))
+        np.testing.assert_allclose(h2, h_full, atol=1e-6)
+
+    def test_score_matches_lm_logits(self):
+        """The scoring matrix IS the LM head: score(h) == apply()'s last
+        logits row when h is the encoder output."""
+        r = small_ranker()
+        params = r.init(KEY)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (7, 5), 0, 64)
+        h, _ = r.encode(params, ids)
+        logits, _ = r.model.apply(params, ids, r.model.state0(5), train=False)
+        np.testing.assert_allclose(r.score(params, h), logits[-1], atol=1e-6)
+
+    def test_item_table_tied_vs_untied(self):
+        r_tied = small_ranker(tie=True)
+        p = r_tied.init(KEY)
+        assert r_tied.item_table(p).shape == (64, 16)
+        assert "w" not in p["fc"]
+        r_untied = small_ranker(tie=False)
+        p2 = r_untied.init(KEY)
+        assert r_untied.item_table(p2).shape == (64, 16)
+
+
+class TestTopK:
+    def test_topk_matches_argsort_oracle(self):
+        r = small_ranker()
+        params = r.init(KEY)
+        h = jax.random.normal(jax.random.PRNGKey(1), (5, 16))
+        vals, ids = r.topk(params, h, 8)
+        scores = np.asarray(r.score(params, h))
+        oracle = np.argsort(-scores, axis=1)[:, :8]
+        np.testing.assert_array_equal(np.asarray(ids), oracle)
+        np.testing.assert_allclose(
+            np.asarray(vals), np.take_along_axis(scores, oracle, axis=1),
+            rtol=1e-6)
+
+    def test_exclude_seen_masks_session_items(self):
+        r = small_ranker()
+        params = r.init(KEY)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (7, 5), 0, 64)
+        h, _ = r.encode(params, ids)
+        _, top = r.topk(params, h, 40, exclude=ids)
+        top = np.asarray(top)
+        seen = np.asarray(ids)
+        for b in range(5):
+            # 64 items, <=7 seen: the top (64 - 7) unseen must not overlap
+            n_unseen = 64 - len(set(seen[:, b]))
+            assert not set(top[b, :n_unseen]) & set(seen[:, b])
+
+
+class TestShardedTopK:
+    """The core oracle: distributed top-K == single-device ranking."""
+
+    @pytest.mark.slow
+    def test_sharded_topk_matches_oracle_100k_items(self):
+        """Catalog 131072 rows sharded over 8 model shards (16384 each);
+        the merge of 8 local top-Ks must equal the unsharded top-K."""
+        n, h_dim, b, k = 131072, 64, 8, 50
+        mesh = make_mesh(data=1, model=8)
+        r = SessionRanker.create(n, hidden_size=h_dim, num_layers=1,
+                                 w_rank=4, u_rank=4, backend="xla")
+        params = r.init(KEY)
+        h = jax.random.normal(jax.random.PRNGKey(1), (b, h_dim))
+
+        oracle_v, oracle_i = r.topk(params, h, k)
+        params_s = jax.device_put(params, lm_param_sharding(params, mesh))
+        vals, ids = jax.jit(
+            lambda p, hh: r.topk_sharded(p, hh, k, mesh, data_sharded=False)
+        )(params_s, h)
+        np.testing.assert_array_equal(np.asarray(ids), np.asarray(oracle_i))
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(oracle_v),
+                                   rtol=1e-5)
+
+    def test_sharded_topk_data_and_model_axes(self):
+        """2x4 mesh: batch sharded on 'data', table on 'model'."""
+        n, h_dim, b, k = 1024, 16, 6, 10
+        mesh = make_mesh(data=2, model=4)
+        r = small_ranker(num_items=n, hidden=h_dim)
+        params = r.init(KEY)
+        h = jax.random.normal(jax.random.PRNGKey(1), (b, h_dim))
+        oracle_v, oracle_i = r.topk(params, h, k)
+        params_s = jax.device_put(params, lm_param_sharding(params, mesh))
+        vals, ids = jax.jit(
+            lambda p, hh: r.topk_sharded(p, hh, k, mesh))(params_s, h)
+        np.testing.assert_array_equal(np.asarray(ids), np.asarray(oracle_i))
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(oracle_v),
+                                   rtol=1e-5)
+
+    def test_sharded_exclude_seen(self):
+        n, h_dim, b, k = 512, 16, 4, 16
+        mesh = make_mesh(data=1, model=8)
+        r = small_ranker(num_items=n, hidden=h_dim)
+        params = r.init(KEY)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (9, b), 0, n)
+        h, _ = r.encode(params, ids)
+        ov, oi = r.topk(params, h, k, exclude=ids)
+        params_s = jax.device_put(params, lm_param_sharding(params, mesh))
+        vals, got = jax.jit(
+            lambda p, hh, e: r.topk_sharded(p, hh, k, mesh, exclude=e,
+                                            data_sharded=False)
+        )(params_s, h, ids)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(oi))
+        seen = np.asarray(ids)
+        for row in range(b):
+            assert not set(np.asarray(got)[row]) & set(seen[:, row])
+
+    def test_validation_errors(self):
+        mesh = make_mesh(data=1, model=8)
+        r = small_ranker(num_items=60)  # 60 % 8 != 0
+        params = r.init(KEY)
+        h = jnp.zeros((2, 16))
+        with pytest.raises(ValueError, match="not divisible"):
+            r.topk_sharded(params, h, 4, mesh)
+        r2 = small_ranker(num_items=64)
+        with pytest.raises(ValueError, match="exceeds the per-shard"):
+            r2.topk_sharded(r2.init(KEY), h, 9, mesh)  # 9 > 64/8
+
+    def test_rank_next_end_to_end(self):
+        n, b, k = 256, 4, 12
+        mesh = make_mesh(data=2, model=4)
+        r = small_ranker(num_items=n)
+        params = r.init(KEY)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (7, b), 0, n)
+        ov, oi = r.rank_next(params, ids, k)
+        params_s = jax.device_put(params, lm_param_sharding(params, mesh))
+        sv, si = jax.jit(
+            lambda p, e: r.rank_next(p, e, k, mesh=mesh))(params_s, ids)
+        np.testing.assert_array_equal(np.asarray(si), np.asarray(oi))
+
+
+class TestRankerTraining:
+    def test_full_ce_training_reduces_loss_and_moves_table(self):
+        """The ranker trains with the proven LM engine; the item table must
+        receive gradients (tied: through both the lookup and the head)."""
+        r = small_ranker(num_items=64, hidden=16)
+        tr = r.trainer(batch_size=4, seq_length=6, fuse_chunks=1,
+                       learning_rate=1.0)
+        params = tr.init()
+        table0 = np.asarray(r.item_table(params)).copy()
+        rng = np.random.RandomState(0)
+        # a learnable pattern: item i is always followed by (i+1) % 64
+        first = rng.randint(0, 64, (1, 4))
+        losses = []
+        states = tr.state0()
+        for step in range(80):
+            x0 = (first + step) % 64
+            xs = (x0 + np.arange(6)[:, None]) % 64
+            ys = (xs + 1) % 64
+            params, states, loss, _ = tr._train_step(
+                params, states, jnp.asarray(xs), jnp.asarray(ys),
+                jnp.float32(1.0), jax.random.PRNGKey(step))
+            losses.append(float(loss))
+        # hidden=16/rank-4 capacity on a 64-way next-item task: steady
+        # descent is the bar (16.6 -> ~11.5 nats*batch over 80 steps)
+        assert losses[-1] < 0.75 * losses[0], losses
+        assert np.abs(np.asarray(r.item_table(params)) - table0).max() > 1e-3
+
+    def test_sharded_training_matches_unsharded(self):
+        """One full-CE SGD step with the row-sharded table == unsharded."""
+        r = small_ranker(num_items=64, hidden=16)
+        mesh = make_mesh(data=2, model=4)
+        xs = jax.random.randint(jax.random.PRNGKey(1), (5, 4), 0, 64)
+        ys = jax.random.randint(jax.random.PRNGKey(2), (5, 4), 0, 64)
+
+        def one_step(trainer):
+            p = trainer.init()
+            s = trainer.state0()
+            xb, yb = trainer.commit_batch(np.asarray(xs), np.asarray(ys))
+            p, _, loss, _ = trainer._train_step(
+                p, s, xb, yb, jnp.float32(1.0), jax.random.PRNGKey(3))
+            return float(loss), jax.tree_util.tree_map(np.asarray, p)
+
+        l0, p0 = one_step(r.trainer(batch_size=4, seq_length=5))
+        l1, p1 = one_step(r.trainer(batch_size=4, seq_length=5, mesh=mesh))
+        assert np.isclose(l0, l1, rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(p0),
+                        jax.tree_util.tree_leaves(p1)):
+            np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_sampled_softmax_approximates_full_ce_gradient(self):
+        """With num_samples == N (all negatives), sampled softmax equals the
+        full CE up to the accidental-hit mask; with fewer samples it still
+        produces finite loss and gradients to the table."""
+        r = small_ranker(num_items=64, hidden=16)
+        params = r.init(KEY)
+        hs = jax.random.normal(jax.random.PRNGKey(1), (10, 16))
+        targets = jax.random.randint(jax.random.PRNGKey(2), (10,), 0, 64)
+
+        loss, grads = jax.value_and_grad(
+            lambda p: r.sampled_softmax_loss(p, hs, targets,
+                                             jax.random.PRNGKey(3), 32))(params)
+        assert np.isfinite(float(loss))
+        gtab = grads["embed"]["w"]
+        assert float(jnp.abs(gtab).max()) > 0
+
+    def test_sampled_softmax_mean_tracks_full_ce(self):
+        """Averaged over many negative draws, the sampled loss should sit
+        near the full-softmax CE (logQ correction removes the bias to first
+        order)."""
+        r = small_ranker(num_items=64, hidden=16)
+        params = r.init(KEY)
+        hs = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (20, 16))
+        targets = jax.random.randint(jax.random.PRNGKey(2), (20,), 0, 64)
+        logits = r.score(params, hs)
+        full = float(-jax.nn.log_softmax(logits)[jnp.arange(20), targets]
+                     .mean())
+        samp = np.mean([
+            float(r.sampled_softmax_loss(params, hs, targets,
+                                         jax.random.PRNGKey(10 + i), 48))
+            for i in range(20)])
+        assert abs(samp - full) < 0.35 * max(full, 1.0), (samp, full)

@@ -1,0 +1,254 @@
+"""Session-based next-item ranking: VMLMF session encoder over a (row-)
+sharded item-embedding table with distributed top-K retrieval.
+
+This is the BASELINE.json north-star stretch config ("multi-host: VMLMF
+sequence scorer with row-sharded item-embedding table, session-based
+next-item ranking").  The reference has no analog — its closest scoring path
+is full-sequence perplexity over a replicated vocabulary table
+(`/root/reference/rnn_compression_factorization_vmlmf/src/train_test/
+lm_test.py:155-171`), which this module generalizes to a serving workload
+whose table does NOT fit (or should not be replicated) on one chip.
+
+TPU-native design:
+
+  * **model** — a `SessionRanker` IS an item-vocabulary `LMModel` (Embed →
+    VMLMF RNN stack → projection) with `tie_embeddings=True` by default, so
+    ONE ``[N_items, H]`` table serves as both the input embedding and the
+    scoring matrix.  Training next-item ranking therefore reuses the whole
+    proven LM engine: `train.lm.LMTrainer` with item-id sequences, full
+    cross-entropy via `lm_loss`, and the `parallel.sharding
+    .lm_param_sharding` layout (table rows sharded on the ``model`` mesh
+    axis, batches on ``data``).
+  * **encode** — the session prefix ``[T, B]`` runs through the fused Pallas
+    scan (one dispatch, input projections batched onto the MXU) and the
+    encoder returns the final hidden state ``[B, H]`` — the session vector.
+  * **sharded top-K** — scoring h·tableᵀ materializes a ``[B, N]`` score row
+    that scales with the catalog; it must never be all-gathered.  Under
+    `shard_map` each ``model`` shard scores only its own ``N/S`` table rows
+    (a ``[B, N/S]`` block), takes a LOCAL ``lax.top_k(k)``, and contributes
+    ``k`` (score, global-id) candidates; the global merge is a second
+    ``top_k`` over the ``[B, S·k]`` candidate row — the only data crossing
+    the ICI is ``S·k`` floats+ids per session, independent of N.
+  * **seen-item exclusion** — session-based rec usually masks items already
+    in the session; each shard scatters ``-inf`` into its local score block
+    at (session-id − shard-offset) with out-of-shard drops
+    (``.at[...].set(mode="drop")``) — no cross-shard traffic.
+  * **sampled softmax** — opt-in training loss for catalogs where even one
+    ``[T·B, N]`` logits block is too big: uniform negatives shared across
+    the batch with a logQ correction; the positive + sampled columns are
+    gathered from the sharded table by id (XLA lowers the gather onto the
+    mesh).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from vmlmf_tpu.nn.models import LMModel
+
+
+def _neg_inf(dtype):
+    return jnp.asarray(jnp.finfo(dtype).min, dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class SessionRanker:
+    """Next-item ranking scorer over an `LMModel` with an item vocabulary.
+
+    ``model.vocab_size`` is the catalog size N; ``tie_embeddings=True``
+    (recommended, the default of `create`) makes ``params['embed']['w']``
+    the single [N, H] item table.
+    """
+
+    model: LMModel
+
+    @classmethod
+    def create(cls, num_items, hidden_size=650, num_layers=1,
+               cell_factory=None, *, w_rank=None, u_rank=None,
+               dropout_rate=0.0, tie_items=True, backend="pallas",
+               head_bf16=False):
+        """Convenience constructor: VMLMF cells at (w_rank, u_rank) unless a
+        `cell_factory` is given."""
+        if cell_factory is None:
+            from vmlmf_tpu.cells import VMLMFCell
+
+            w_rank = w_rank or max(8, hidden_size // 8)
+            u_rank = u_rank or w_rank
+
+            def cell_factory(n, h):
+                return VMLMFCell(n, h, w_rank=w_rank, u_rank=u_rank)
+
+        return cls(LMModel(
+            vocab_size=num_items, hidden_size=hidden_size,
+            num_layers=num_layers, cell_factory=cell_factory,
+            dropout_rate=dropout_rate, winit=0.05, tie_embeddings=tie_items,
+            backend=backend, head_bf16=head_bf16))
+
+    # ------------------------------------------------------------- params
+    @property
+    def num_items(self):
+        return self.model.vocab_size
+
+    def init(self, key, dtype=jnp.float32):
+        return self.model.init(key, dtype)
+
+    def item_table(self, params):
+        """[N, H] item-embedding table (the scoring matrix)."""
+        if self.model.tie_embeddings:
+            return params["embed"]["w"]
+        return params["fc"]["w"].T
+
+    def _head(self, params):
+        """(w [H, N], b [N]) — the scoring projection, column-sharded on the
+        'model' mesh axis under `lm_param_sharding` (a lazy transpose of the
+        row-sharded table when tied)."""
+        w = (params["embed"]["w"].T if self.model.tie_embeddings
+             else params["fc"]["w"])
+        return w, params["fc"]["b"]
+
+    # ------------------------------------------------------------- encode
+    def encode(self, params, ids, states=None):
+        """Session prefix ids [T, B] -> (session vector h [B, H], states).
+
+        The last layer's hidden state at the final position — the same
+        reduction the HAR head applies (`vmlmf.py:355`) on the LM tower.
+        No dropout: encoding is inference."""
+        m = self.model
+        if states is None:
+            states = m.state0(ids.shape[1])
+        x = m.embed(params["embed"], ids)  # [T, B, H]
+        ys, states = m.rnn(params["rnn"], x, states, time_major=True)
+        return ys[-1], states
+
+    # -------------------------------------------------------------- score
+    def score(self, params, h):
+        """Full score row h [B, H] -> [B, N].  The single-device oracle;
+        O(B·N) output — use `topk`/`topk_sharded` in serving."""
+        return self.model._logits(params, h)
+
+    def topk(self, params, h, k, *, exclude=None):
+        """Single-device top-K: -> (scores [B, k], item ids [B, k] int32).
+        ``exclude``: optional [T, B] session ids to mask out."""
+        scores = self.score(params, h)
+        if exclude is not None:
+            scores = self._mask_seen(scores, exclude, offset=0)
+        vals, ids = jax.lax.top_k(scores, k)
+        return vals, ids.astype(jnp.int32)
+
+    @staticmethod
+    def _mask_seen(scores, seen, offset):
+        """Scatter -inf into scores [B, Nloc] at (seen − offset); ids outside
+        [0, Nloc) belong to other shards and are dropped.  NOTE negative
+        indices would WRAP (JAX indexing semantics), so below-shard ids are
+        first pushed past Nloc where mode="drop" discards them."""
+        b, nloc = scores.shape
+        local = seen.T - offset                       # [B, T]
+        local = jnp.where(local < 0, nloc, local)     # below-shard -> dropped
+        rows = jnp.broadcast_to(jnp.arange(b)[:, None], local.shape)
+        return scores.at[rows, local].set(_neg_inf(scores.dtype),
+                                          mode="drop")
+
+    def topk_sharded(self, params, h, k, mesh, *, exclude=None,
+                     data_sharded=True):
+        """Distributed top-K over the row-sharded item table.
+
+        h: [B, H] session vectors (batch sharded on 'data' when
+        ``data_sharded``); the table/head is column-sharded on 'model'
+        (`lm_param_sharding`).  Each model shard scores its N/S rows and
+        contributes its local top-k; the global merge re-top-ks the
+        [B, S·k] candidates — per-session ICI traffic is S·k (score, id)
+        pairs, independent of N.  -> (scores [B, k], ids [B, k] int32).
+        """
+        w, bias = self._head(params)
+        n = self.num_items
+        shards = mesh.shape["model"]
+        if n % shards != 0:
+            raise ValueError(
+                f"num_items={n} not divisible by model-axis size {shards}")
+        if k > n // shards:
+            raise ValueError(
+                f"k={k} exceeds the per-shard row count {n // shards}; "
+                f"lower k or the model-axis size")
+        bspec = P("data", None) if data_sharded else P(None, None)
+        espec = (P(None, "data") if data_sharded else P(None, None))
+
+        args = (h, w, bias)
+        specs = [bspec, P(None, "model"), P("model")]
+        if exclude is not None:
+            args += (exclude,)
+            specs.append(espec)
+
+        out = P("data", "model") if data_sharded else P(None, "model")
+
+        @functools.partial(shard_map, mesh=mesh, in_specs=tuple(specs),
+                           out_specs=(out, out))
+        def local_topk(h, w, bias, *rest):
+            scores = h @ w + bias                     # [Bloc, N/S]
+            off = jax.lax.axis_index("model") * scores.shape[1]
+            if rest:
+                scores = self._mask_seen(scores, rest[0], offset=off)
+            vals, ids = jax.lax.top_k(scores, k)      # local top-k
+            return vals, (ids + off).astype(jnp.int32)
+
+        vals, ids = local_topk(*args)                 # [B, S·k] candidates
+        top, sel = jax.lax.top_k(vals, k)             # global merge
+        return top, jnp.take_along_axis(ids, sel, axis=1)
+
+    # ------------------------------------------------------------ serving
+    def rank_next(self, params, session_ids, k, *, mesh=None,
+                  exclude_seen=False):
+        """End-to-end: encode the session prefix [T, B], return the top-K
+        next items.  -> (scores [B, k], item ids [B, k])."""
+        h, _ = self.encode(params, session_ids)
+        exclude = session_ids if exclude_seen else None
+        if mesh is not None and mesh.shape["model"] > 1:
+            return self.topk_sharded(params, h, k, mesh, exclude=exclude)
+        return self.topk(params, h, k, exclude=exclude)
+
+    # ----------------------------------------------------------- training
+    def loss(self, params, ids, targets, states, *, rng=None, train=True):
+        """Full-CE next-item loss (the LM objective on item sequences):
+        reuses `model.apply` + `lm_loss` so the trained scorer is exactly
+        what `LMTrainer` optimizes.  -> (loss, new_states)."""
+        from vmlmf_tpu.train.lm import lm_loss
+
+        logits, new_states = self.model.apply(params, ids, states,
+                                              rng=rng, train=train)
+        return lm_loss(logits, targets), new_states
+
+    def sampled_softmax_loss(self, params, hs, targets, key, num_samples):
+        """Sampled-softmax CE for catalogs too large for full [T·B, N]
+        logits: uniform negatives shared across the batch, logQ-corrected
+        (each negative's logit gets −log(S/N) so the sampled softmax is an
+        unbiased estimator of the full one in expectation).
+
+        hs: [M, H] hidden states (e.g. flattened [T·B, H]); targets: [M]
+        item ids; num_samples: static negative count.  -> scalar mean loss.
+        """
+        w, bias = self._head(params)                  # [H, N], [N]
+        n = self.num_items
+        neg = jax.random.randint(key, (num_samples,), 0, n)
+        pos_logit = jnp.einsum("mh,hm->m", hs, w[:, targets]) + bias[targets]
+        neg_logit = hs @ w[:, neg] + bias[neg]        # [M, S]
+        # logQ correction: uniform q = num_samples / N per negative draw
+        neg_logit = neg_logit - jnp.log(num_samples / n)
+        # mask accidental hits (a sampled negative equal to the target)
+        hit = neg[None, :] == targets[:, None]
+        neg_logit = jnp.where(hit, _neg_inf(neg_logit.dtype), neg_logit)
+        all_logits = jnp.concatenate([pos_logit[:, None], neg_logit], axis=1)
+        return -jax.nn.log_softmax(all_logits)[:, 0].mean()
+
+    def trainer(self, *, batch_size=20, seq_length=35, mesh=None, **kw):
+        """An `LMTrainer` over this ranker's model (full-CE objective,
+        manual SGD + clip — `train.lm`); pass ``mesh`` to train with the
+        row-sharded table layout."""
+        from vmlmf_tpu.train.lm import LMTrainer
+
+        return LMTrainer(self.model, batch_size=batch_size,
+                         seq_length=seq_length, mesh=mesh, **kw)
