@@ -86,25 +86,34 @@ def har_train_hbm_bytes(batch, t, feats, hidden, u_rank, n_params):
     fp32.  The x-fused kernel (`ops/pallas_scan.py` xin mode) streams the
     RAW input x instead of the hoisted gi [T,B,4h] and never materializes
     gi/dgi in HBM; the primal returns c_last (no dcs zeros-cotangent
-    stream); the backward RECOMPUTES the gates and h@U residuals batched
-    from x + saved h_prev (default policy), so no [T,B,4h]/[T,B,r] residual
-    streams exist at all.  Kernel streams are counted at the PADDED widths
-    the chip actually moves (lane multiples of 128); XLA-side glue at
-    logical widths:
-      fwd kernel:  x read; ys, cs writes
+    stream); under the DEFAULT policy the backward RECOMPUTES the gates and
+    h@U residuals batched from x + saved h_prev, so no [T,B,4h]/[T,B,r]
+    residual streams exist at all.  With VMLMF_PALLAS_SAVED_GATES=1 the
+    zero-recompute policy streams them (gates write fwd + read bwd, h@U
+    likewise) and the byte model counts those streams — the reported
+    roofline fraction stays consistent with whichever policy the bench
+    process traced.  Kernel streams are counted at the PADDED widths the
+    chip actually moves (lane multiples of 128); XLA-side glue at logical
+    widths:
+      fwd kernel:  x read; ys, cs writes [; gates, hu writes (saved policy)]
       bwd kernel:  x, ys (h_prev), cs (c_prev + c_t), dys reads; dx write
+                   [; gates, hu reads (saved policy)]
       XLA glue:    x read (pad relayout), ys[-1] head read + dys write,
                    params/grads/opt-state (Adam m, v) ~ 10 accesses of P
     """
+    import os
+
     f32 = 4
     pad = lambda n: -(-n // 128) * 128
-    hp, fp = pad(hidden), pad(feats)
+    hp, fp, rp = pad(hidden), pad(feats), pad(u_rank)
     act = batch * t
     kernel_words = act * (
         fp + hp + hp            # fwd: x read; ys, cs writes
         + fp + hp + 2 * hp + hp  # bwd reads: x, h_prev, c_prev + c_t, dys
         + fp                    # dx write
     )
+    if os.environ.get("VMLMF_PALLAS_SAVED_GATES") == "1":
+        kernel_words += act * 2 * (4 * hp + rp)  # gates + h@U, write + read
     xla_words = act * (feats + 2 * hidden) + 10 * n_params
     return f32 * (kernel_words + xla_words)
 
@@ -186,38 +195,100 @@ def bench_har():
     }
 
 
-def bench_har_variants():
-    """Secondary HAR-family headline configs (machine-checked per round):
-    group-VMLMF demo config and the legacy rank-9 GRU grid, both on the
-    x-fused pallas path.  Fewer iters than the headline — these are
-    regression trip-wires, not the primary metric."""
-    from vmlmf_tpu.cells import GRUCell, VMLMFGroupCell
-    from vmlmf_tpu.nn.models import HARNet
+def _har_timer(model, batch=81, t=24, feats=77, fuse=64):
+    """Compile a fused-epoch HAR trainer once and return a closure that
+    times `iters` chained dispatches, closed by one D2H value read."""
     from vmlmf_tpu.train.har import HARTrainer
 
-    def run(model, batch=81, t=24, feats=77, fuse=64, iters=5):
-        tr = HARTrainer(model, learning_rate=2e-3, batch_size=batch,
-                        fuse_batches=fuse)
-        p, o = tr.init()
-        xs = jax.random.normal(jax.random.PRNGKey(0), (fuse, batch, t, feats))
-        ys = jax.random.randint(jax.random.PRNGKey(1), (fuse, batch), 0, 18)
-        p, o, losses = tr._fused_steps(p, o, xs, ys)
-        l0 = float(losses[-1])
+    tr = HARTrainer(model, learning_rate=2e-3, batch_size=batch,
+                    fuse_batches=fuse)
+    p, o = tr.init()
+    xs = jax.random.normal(jax.random.PRNGKey(0), (fuse, batch, t, feats))
+    ys = jax.random.randint(jax.random.PRNGKey(1), (fuse, batch), 0, 18)
+    p, o, losses = tr._fused_steps(p, o, xs, ys)  # compile + warm
+    state = {"p": p, "o": o, "l": float(losses[-1])}
+
+    def timed(iters=3):
+        p, o = state["p"], state["o"]
         t0 = time.perf_counter()
         for _ in range(iters):
             p, o, losses = tr._fused_steps(p, o, xs, ys)
         l1 = float(losses[-1])
-        assert l1 != l0, "training chain did not execute"
-        return batch * iters * fuse / (time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        assert l1 != state["l"], "training chain did not execute"
+        state.update(p=p, o=o, l=l1)
+        return batch * iters * fuse / dt
 
-    group = run(HARNet(
-        input_size=77, layer_sizes=(180,), backend="pallas",
-        cell_factory=lambda n, h: VMLMFGroupCell(n, h, w_rank=8,
-                                                 u_ranks=(2, 4), groups=2)))
-    gru = run(HARNet(
-        input_size=77, layer_sizes=(64, 64), backend="pallas",
-        cell_factory=lambda n, h: GRUCell(n, h, w_rank=9, u_rank=9)))
-    return {"har_group_seq_per_sec": group, "gru_seq_per_sec": gru}
+    return timed
+
+
+def bench_har_variants(rounds=4):
+    """Secondary HAR-family headline configs (machine-checked per round):
+    group-VMLMF demo config and the legacy rank-9 GRU grid, both on the
+    x-fused pallas path.
+
+    Protocol (drift-cancelled): this tunneled runtime drifts ±20%+ run-to-
+    run, so instead of one 5-iteration shot per config the two configs'
+    timing rounds are INTERLEAVED (group, gru, group, gru, ...) inside one
+    process and each config reports its median across `rounds` — slow
+    runtime drift hits both configs alike, so round-over-round deltas in
+    BENCH_r*.json are attributable to code, not runtime weather (the
+    `scripts/bench_residual_policy.py` protocol)."""
+    import statistics
+
+    from vmlmf_tpu.cells import GRUCell, VMLMFGroupCell
+    from vmlmf_tpu.nn.models import HARNet
+
+    timers = {
+        "har_group_seq_per_sec": _har_timer(HARNet(
+            input_size=77, layer_sizes=(180,), backend="pallas",
+            cell_factory=lambda n, h: VMLMFGroupCell(
+                n, h, w_rank=8, u_ranks=(2, 4), groups=2))),
+        "gru_seq_per_sec": _har_timer(HARNet(
+            input_size=77, layer_sizes=(64, 64), backend="pallas",
+            cell_factory=lambda n, h: GRUCell(n, h, w_rank=9, u_rank=9))),
+    }
+    samples = {k: [] for k in timers}
+    for _ in range(rounds):
+        for k, timed in timers.items():
+            samples[k].append(timed())
+    return {k: statistics.median(v) for k, v in samples.items()}
+
+
+def bench_har_latency_fit(rounds=3):
+    """Serial-latency decomposition of the HAR train step, machine-checked:
+    hold T*B=1944 activations fixed, vary T — a bandwidth/compute-bound step
+    is T-invariant, a serial-latency-bound step scales linearly in T.  Two
+    endpoints (T=8,B=243) and (T=24,B=81) give the per-timestep slope and
+    the per-batch overhead intercept; `har_serial_fraction` is the serial
+    share at the demo config's T=24.  Full 4-point fit + methodology:
+    `scripts/bench_latency_decomposition.py`, output committed in
+    `docs/latency.md`.  Rounds are interleaved across the two configs and
+    medianed (same drift-cancelling rationale as `bench_har_variants`)."""
+    import statistics
+
+    from vmlmf_tpu.cells import VMLMFCell
+    from vmlmf_tpu.nn.models import HARNet
+
+    def make(batch, t):
+        model = HARNet(
+            input_size=77, layer_sizes=(180,), backend="pallas",
+            cell_factory=lambda n, h: VMLMFCell(n, h, w_rank=8, u_rank=6))
+        timed = _har_timer(model, batch=batch, t=t)
+        # convert seq/s back to µs per fused batch-step for the fit
+        return lambda: batch / timed() * 1e6
+
+    configs = {8: make(243, 8), 24: make(81, 24)}
+    us = {t: [] for t in configs}
+    for _ in range(rounds):
+        for t, timed in configs.items():
+            us[t].append(timed())
+    u8, u24 = statistics.median(us[8]), statistics.median(us[24])
+    slope = (u24 - u8) / (24 - 8)
+    intercept = u8 - slope * 8
+    serial = slope * 24 / (slope * 24 + intercept)
+    return {"har_us_per_timestep": slope, "har_us_overhead": intercept,
+            "har_serial_fraction": serial}
 
 
 def bench_lm(chip):
@@ -282,6 +353,7 @@ def main():
     # this tunneled runtime
     variants = bench_har_variants()
     har = bench_har()
+    latency = bench_har_latency_fit()
     lm = bench_lm(har["chip"])
 
     print(json.dumps({
@@ -296,6 +368,9 @@ def main():
             "har_bound": har["bound"],
             "har_group_seq_per_sec": round(variants["har_group_seq_per_sec"], 1),
             "gru_seq_per_sec": round(variants["gru_seq_per_sec"], 1),
+            "har_us_per_timestep": round(latency["har_us_per_timestep"], 2),
+            "har_us_overhead": round(latency["har_us_overhead"], 1),
+            "har_serial_fraction": round(latency["har_serial_fraction"], 3),
             "lm_train_wps": round(lm["lm_train_wps"], 1),
             "lm_infer_wps": round(lm["lm_infer_wps"], 1),
             "lm_train_mfu": round(lm["lm_train_mfu"], 5),

@@ -47,8 +47,9 @@ def measure(t, b, rounds, fuse=64, feats=77):
 
 def main():
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    # fixed T*B = 1944 activations per batch step (the demo config's count)
-    configs = [(8, 243), (12, 162), (24, 81), (48, 40)]
+    # fixed T*B = 1944 activations per batch step (the demo config's count);
+    # every T divides 1944 exactly so all points carry identical work
+    configs = [(8, 243), (12, 162), (24, 81), (36, 54)]
     res = []
     for t, b in configs:
         us = measure(t, b, rounds)

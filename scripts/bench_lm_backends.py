@@ -1,4 +1,6 @@
-"""Compare LM training backends (xla / pallas / pipelined / pallas_pipelined) on one chip.
+"""Compare LM training backends (xla / pallas / pipelined / pallas_pipelined)
+on one chip.  The wavefront rows reproduce the retired-backend measurements
+of docs/wavefront.md.
 
 Reference PTB flagship config (lm_test.py:46-79): 2x650 VMLMF w300/u300,
 batch 20, BPTT 35, dropout 0.5, manual SGD — full fused-chunk train steps.
@@ -6,6 +8,7 @@ Timing protocol per BASELINE.md: chain iterations through (params, state),
 close with a single device-to-host value read, assert the value moved.
 """
 import os, sys, time
+os.environ.setdefault("VMLMF_EXPERIMENTAL_WAVEFRONT", "1")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np
 from vmlmf_tpu.cells import VMLMFCell

@@ -256,6 +256,7 @@ class TestXinModes:
             return jnp.sum(ys * w_out) + jnp.sum(jnp.tanh(h)) + 0.5 * jnp.sum(c * c)
 
         monkeypatch.setenv("VMLMF_PALLAS_XIN", "1")
+        monkeypatch.delenv("VMLMF_PALLAS_SAVED_GATES", raising=False)
         val_r, g_r = jax.value_and_grad(loss, argnums=(0, 1))(params, xs)
         monkeypatch.setenv("VMLMF_PALLAS_SAVED_GATES", "1")
         val_s, g_s = jax.value_and_grad(loss, argnums=(0, 1))(params, xs)
@@ -344,6 +345,69 @@ class TestVmemBudgets:
         monkeypatch.setenv("VMLMF_VMEM_BYTES", str(8 << 20))
         ys_p, _ = scan_layer(cell, prep, xs, s0, backend="pallas")
         np.testing.assert_allclose(ys_p, ys_x, atol=2e-5, rtol=2e-5)
+
+    def test_tile_overflow_falls_back_to_xla(self, monkeypatch):
+        """When even the minimal (sblk=1, bt=8) tile overflows the budget
+        (here: a VMEM so small the backward kernel cannot tile), scan_layer
+        must route to the XLA scan — matching numerics, one-time warning —
+        instead of compiling the proven-unfit tile (round-3 verdict item 4)."""
+        import vmlmf_tpu.nn.recurrence as rec
+
+        cell = VMLMFCell(12, 128, w_rank=4, u_rank=4)
+        params = cell.init(KEY)
+        prep = cell.prepare(params)
+        xs = jax.random.normal(jax.random.PRNGKey(1), (6, 5, 12))
+        s0 = (jnp.zeros((5, 128)), jnp.zeros((5, 128)))
+
+        def loss(prep, xs, backend):
+            ys, (h, c) = scan_layer(cell, prep, xs, s0, backend=backend)
+            return jnp.sum(ys**2) + jnp.sum(h * c)
+
+        val_x, g_x = jax.value_and_grad(loss)(prep, xs, "xla")
+        # 1 MiB VMEM: the forward fits (live 12 × 8 × 512 × 4 ≈ 196 KiB)
+        # but the backward (live 28) cannot — the pre-check must catch it
+        monkeypatch.setenv("VMLMF_VMEM_BYTES", str(1 << 20))
+        from vmlmf_tpu.ops.pallas_scan import fused_scan_fits
+
+        assert not fused_scan_fits(6, 5, 512, jax.tree_util.tree_leaves(prep),
+                                   xin=True)
+        rec._warned_unfit.clear()
+        with pytest.warns(UserWarning, match="falling back to the XLA scan"):
+            val_p, g_p = jax.value_and_grad(loss)(prep, xs, "pallas")
+        np.testing.assert_allclose(val_p, val_x, rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g_p),
+                        jax.tree_util.tree_leaves(g_x)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, rtol=1e-6)
+
+    def test_gru_tile_overflow_falls_back_to_xla(self, monkeypatch):
+        from vmlmf_tpu.cells import GRUCell
+        import vmlmf_tpu.nn.recurrence as rec
+
+        cell = GRUCell(10, 128, w_rank=4, u_rank=4)
+        params = cell.init(KEY)
+        prep = cell.prepare(params)
+        xs = jax.random.normal(jax.random.PRNGKey(1), (6, 5, 10))
+        h0 = jnp.zeros((5, 128))
+        ys_x, _ = scan_layer(cell, prep, xs, h0, backend="xla")
+        monkeypatch.setenv("VMLMF_VMEM_BYTES", str(1 << 19))
+        rec._warned_unfit.clear()
+        with pytest.warns(UserWarning, match="falling back to the XLA scan"):
+            ys_p, _ = scan_layer(cell, prep, xs, h0, backend="pallas")
+        np.testing.assert_allclose(ys_p, ys_x, atol=1e-6, rtol=1e-6)
+
+    def test_direct_kernel_overflow_raises_clearly(self, monkeypatch):
+        """Direct kernel callers (not via scan_layer) get a clear error
+        naming the budget, not an opaque Mosaic VMEM failure."""
+        from vmlmf_tpu.ops.pallas_scan import lstm_scan_fused
+
+        monkeypatch.setenv("VMLMF_VMEM_BYTES", str(1 << 16))
+        gi = jnp.zeros((4, 3, 4 * 32))
+        u = jnp.zeros((32, 8))
+        v = jnp.zeros((8, 4 * 32))
+        with pytest.raises(ValueError, match="minimal .* tile"):
+            lstm_scan_fused(gi, u, v, jnp.zeros(4 * 32), jnp.zeros((3, 32)),
+                            jnp.zeros((3, 32)), interpret=True)
 
     def test_stack_fits_consults_chip_budget(self, monkeypatch):
         from vmlmf_tpu.nn.recurrence import RNN

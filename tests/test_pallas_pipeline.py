@@ -6,8 +6,16 @@ The kernel reschedules the whole LSTM stack as a block staircase inside one
 completion before the next (`nn/recurrence.py`) — same adds in the same
 per-gate association, so tolerances are f32-level.  Runs in Pallas interpret
 mode on CPU (`nn.recurrence._use_interpret`); the compiled path is exercised
-on real TPU hardware by `bench.py` / `scripts/bench_lm_backends.py`.
+on real TPU hardware by `scripts/bench_lm_backends.py`.
+
+The backend is a RETIRED experiment knob (measured slower than per-layer
+'pallas' at every depth — docs/wavefront.md); these parity tests keep the
+kept artifact honest and must opt in explicitly.
 """
+
+import os
+
+os.environ.setdefault("VMLMF_EXPERIMENTAL_WAVEFRONT", "1")
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,14 @@ including final TBPTT states and gradients — the only difference is op
 scheduling.  Tolerances are f32-reassociation-level, not exact: the fused
 per-gate epilogue computes ``x * (d - dcorr)`` where the sequential path
 computes ``x*d - x*dcorr``.
+
+The backend is a RETIRED experiment knob (docs/wavefront.md); parity tests
+opt in explicitly.
 """
+
+import os
+
+os.environ.setdefault("VMLMF_EXPERIMENTAL_WAVEFRONT", "1")
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +31,22 @@ def _stack(cell_cls, sizes, **kw):
     return tuple(
         cell_cls(sizes[i], sizes[i + 1], **kw) for i in range(len(sizes) - 1)
     )
+
+
+class TestRetirementGate:
+    def test_wavefront_backends_require_opt_in(self, monkeypatch):
+        """Without VMLMF_EXPERIMENTAL_WAVEFRONT=1 the retired wavefront
+        backends must refuse construction with a pointer to the negative-
+        result doc; unknown backends get a distinct error."""
+        monkeypatch.delenv("VMLMF_EXPERIMENTAL_WAVEFRONT", raising=False)
+        cells = _stack(LSTMCell, (4, 8, 8))
+        for retired in ("pipelined", "pallas_pipelined"):
+            with pytest.raises(ValueError, match="docs/wavefront.md"):
+                RNN(cells, backend=retired)
+        with pytest.raises(ValueError, match="unknown backend"):
+            RNN(cells, backend="tpu_magic")
+        monkeypatch.setenv("VMLMF_EXPERIMENTAL_WAVEFRONT", "1")
+        RNN(cells, backend="pipelined")  # opt-in constructs fine
 
 
 def _run_both(cells, t=7, batch=3, seed=0, require_pipelined=True):

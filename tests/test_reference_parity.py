@@ -837,16 +837,18 @@ def _lm_params_from_ref(ref_model, h, layers):
 def test_har_trajectory_parity_protocol_scale(ref_vmlmf, ref_train):
     """Trajectory parity at the ACTUAL reference protocol scale
     (`script/demo.sh:7`): layers [180], w_rank 8, u_ranks 6, 77 inputs,
-    batch 81, window 24, 18 classes — 3 epochs x 6 batches of the
-    reference's own Adam `train()` vs the framework's jitted step on
-    identical synthetic batches.  Measured bands recorded in
+    batch 81, window 24, 18 classes — 3 epochs x 79 batches (a full OPP
+    demo epoch: 6400 train windows / 81 with drop_last) of the reference's
+    own Adam `train()` vs the framework's jitted step on identical
+    synthetic batches — 237 identical Adam steps, enough for drift to
+    accumulate if the math diverged.  Measured bands recorded in
     docs/parity.md."""
     from vmlmf_tpu.cells.vmlmf import VMLMFCell
     from vmlmf_tpu.nn.models import HARNet
     from vmlmf_tpu.train.har import HARTrainer
 
     n, h, wr, ur, b, t, ncls = 77, 180, 8, 6, 81, 24, 18
-    epochs, nb = 3, 6
+    epochs, nb = 3, 79
     torch.manual_seed(30)
     net = ref_vmlmf.Net(n, layer_sizes=[h], w_rank=wr, u_rank=[ur],
                         model=ref_vmlmf.MyLSTM, cell=ref_vmlmf.MyVMLMFCell)
@@ -896,10 +898,11 @@ def test_har_trajectory_parity_protocol_scale(ref_vmlmf, ref_train):
 def test_lm_trajectory_parity_protocol_scale(ref_lm, ref_lm_test):
     """Trajectory parity at the PTB flagship shape (`lm_test.py:46-79`):
     2 layers x hidden 650, w_rank = u_ranks = 300, vocab 10000, batch 20,
-    BPTT 35, manual SGD lr 1.0 + clip 5.0 — one full epoch of the
+    BPTT 35, manual SGD lr 1.0 + clip 5.0 — TWO full epochs of the
     reference's own `train()` on a shared synthetic corpus vs
-    `LMTrainer.fit`; perplexities computed by each side's OWN function.
-    Measured bands recorded in docs/parity.md."""
+    `LMTrainer.fit`, with the LR-decay branch (`lm_test.py:194-195`)
+    actually taken in epoch 2 (threshold 0); perplexities computed by each
+    side's OWN function.  Measured bands recorded in docs/parity.md."""
     from vmlmf_tpu.cells.vmlmf import VMLMFCell
     from vmlmf_tpu.nn.models import LMModel
     from vmlmf_tpu.train.lm import LMTrainer
@@ -922,7 +925,7 @@ def test_lm_trajectory_parity_protocol_scale(ref_lm, ref_lm_test):
                             for x, y in chunks]
     trn, vld = to_np(trn_ref), to_np(vld_ref)
 
-    epochs, thresh, lr, factor, max_norm = 1, 0, 1.0, 1.2, 5.0
+    epochs, thresh, lr, factor, max_norm = 2, 0, 1.0, 1.2, 5.0
     ref_lm_test.train((trn_ref, vld_ref, vld_ref), ref_model, epochs, thresh,
                       lr, factor, max_norm, b)
     ref_val_ppl = ref_lm_test.perplexity(vld_ref, ref_model, b)
@@ -930,7 +933,10 @@ def test_lm_trajectory_parity_protocol_scale(ref_lm, ref_lm_test):
     trainer = LMTrainer(model, batch_size=b, seq_length=t, learning_rate=lr,
                         factor_epoch=thresh, factor=factor,
                         max_grad_norm=max_norm, fuse_chunks=1)
-    params, _ = trainer.fit(params, (trn, vld, vld), epochs=epochs, log_fn=None)
+    params, hist = trainer.fit(params, (trn, vld, vld), epochs=epochs,
+                               log_fn=None)
+    # the decay branch must actually run in epoch 2 (epoch index 1 > thresh 0)
+    assert hist[1]["lr"] == pytest.approx(lr / factor), hist
     my_val_ppl = trainer.perplexity(params, vld)
 
     assert abs(my_val_ppl - ref_val_ppl) / ref_val_ppl < 1e-2, (

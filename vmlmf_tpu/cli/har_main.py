@@ -55,7 +55,10 @@ def get_args(argv=None):
     p.add_argument("--ckpt_dir", type=str, default="./trained_models")
     p.add_argument("--backend", type=str, default="xla",
                    choices=["xla", "pallas", "pipelined", "pallas_pipelined"],
-                   help="recurrence execution: XLA scan or fused Pallas kernel")
+                   help="recurrence execution: XLA scan or fused Pallas "
+                        "kernel (the wavefront backends are retired knobs "
+                        "needing VMLMF_EXPERIMENTAL_WAVEFRONT=1 — "
+                        "docs/wavefront.md)")
     return p.parse_args(argv)
 
 

@@ -49,10 +49,10 @@ class HARConfig:
     max_epochs: int = 100
     seed: int = 3
     is_train: bool = True
-    # execution: "xla" (lax.scan) | "pallas" (fused whole-scan kernel) |
-    # "pipelined" (XLA wavefront over layers; >=2 uniform layers) |
-    # "pallas_pipelined" (fused multi-layer wavefront kernel; >=2 uniform
-    # layers, VMEM-bound — falls back per-call otherwise)
+    # execution: "xla" (lax.scan) | "pallas" (fused whole-scan kernel — the
+    # measured winner at every config).  The wavefront schedules
+    # ("pipelined" / "pallas_pipelined") are retired experiment knobs
+    # gated on VMLMF_EXPERIMENTAL_WAVEFRONT=1 — docs/wavefront.md.
     backend: str = "xla"
 
     @property
@@ -134,9 +134,9 @@ class LMConfig:
     max_grad_norm: float = 5.0
     seed: int = 0
     data_dir: str | None = "./data"
-    # execution: "xla" | "pallas" | "pipelined" | "pallas_pipelined"
-    # (see HARConfig.backend; "pallas" is the measured winner at the PTB
-    # flagship config — BASELINE.md)
+    # execution: "xla" | "pallas" ("pallas" is the measured winner at the
+    # PTB flagship config — BASELINE.md; wavefront knobs see
+    # HARConfig.backend / docs/wavefront.md)
     backend: str = "xla"
 
     def cell_factory(self):

@@ -28,6 +28,47 @@ def _pallas_available(cell, state0):
     return hasattr(cell, "fused_rec_inputs") and isinstance(state0, tuple)
 
 
+_BACKENDS = ("xla", "pallas")
+_RETIRED_BACKENDS = ("pipelined", "pallas_pipelined")
+
+
+def _check_backend(backend):
+    """Production surface: xla | pallas.  The wavefront schedules are
+    retired experiment knobs — measured slower than per-layer 'pallas' at
+    every depth (docs/wavefront.md) — and must be opted into explicitly."""
+    if backend in _RETIRED_BACKENDS:
+        if os.environ.get("VMLMF_EXPERIMENTAL_WAVEFRONT") == "1":
+            return
+        raise ValueError(
+            f"backend={backend!r} is retired from the production surface "
+            "(the wavefront schedules measured slower than the per-layer "
+            "'pallas' kernel at every depth — docs/wavefront.md has the "
+            "measurements and the dominance argument). Set "
+            "VMLMF_EXPERIMENTAL_WAVEFRONT=1 to use it as an experiment knob.")
+    if backend not in _BACKENDS:
+        raise ValueError(
+            f"unknown backend {backend!r}; choose from {_BACKENDS} "
+            f"(retired experiment knobs: {_RETIRED_BACKENDS})")
+
+
+_warned_unfit: set = set()
+
+
+def _warn_unfit(cell, t, b):
+    """One-time warning when the fused kernels cannot tile a config under the
+    chip's VMEM budget and `scan_layer` routes to the XLA scan instead."""
+    import warnings
+
+    key = (type(cell).__name__, cell.hidden_size, t, b)
+    if key not in _warned_unfit:
+        _warned_unfit.add(key)
+        warnings.warn(
+            f"fused Pallas scan cannot tile {key[0]}(h={cell.hidden_size}) "
+            f"at T={t}, B={b} under the VMEM budget; falling back to the "
+            "XLA scan (identical math, re-streams factors per step)",
+            stacklevel=4)
+
+
 def _use_interpret():
     """Pallas kernels run compiled on TPU, interpreted elsewhere (CPU tests)."""
     if os.environ.get("VMLMF_PALLAS_INTERPRET"):
@@ -68,6 +109,8 @@ def scan_layer(cell, prep, xs, state0, *, reverse=False, unroll=1, backend="xla"
     """
     if backend == "pallas" and _pallas_available(cell, state0):
         from vmlmf_tpu.ops.pallas_scan import (
+            _round_up,
+            fused_scan_fits,
             lstm_scan_fused,
             lstm_scan_fused_xin,
         )
@@ -80,6 +123,13 @@ def scan_layer(cell, prep, xs, state0, *, reverse=False, unroll=1, backend="xla"
             fxi = None
             if _use_xin(cell):
                 fxi = getattr(cell, "fused_x_inputs", lambda p: None)(prep)
+            if not fused_scan_fits(
+                    xs.shape[0], xs.shape[1],
+                    4 * _round_up(cell.hidden_size, 128),
+                    (u, v, dvec) + (fxi or ()), xin=fxi is not None):
+                _warn_unfit(cell, xs.shape[0], xs.shape[1])
+                fri = None  # fall through to the XLA scan below
+        if fri is not None:
             if fxi is not None:
                 src = jnp.flip(xs, axis=0) if reverse else xs
                 ys, c_last = lstm_scan_fused_xin(
@@ -101,24 +151,31 @@ def scan_layer(cell, prep, xs, state0, *, reverse=False, unroll=1, backend="xla"
             and not isinstance(state0, tuple)):
         from vmlmf_tpu.ops.pallas_gru import gru_scan_fused, gru_scan_fused_xin
 
+        from vmlmf_tpu.ops.pallas_scan import _round_up, fused_scan_fits
+
         uf, prz, pn, mode = cell.fused_rec_inputs_gru(prep)
         fxi = None
         if _use_xin(cell):
             fxi = getattr(cell, "fused_x_inputs_gru", lambda p: None)(prep)
-        if fxi is not None:
-            src = jnp.flip(xs, axis=0) if reverse else xs
-            ys = gru_scan_fused_xin(src, *fxi, uf, prz, pn, state0, mode=mode,
-                                    interpret=_use_interpret())
+        if not fused_scan_fits(
+                xs.shape[0], xs.shape[1], 3 * _round_up(cell.hidden_size, 128),
+                (uf, prz, pn) + (fxi or ()), xin=fxi is not None):
+            _warn_unfit(cell, xs.shape[0], xs.shape[1])
         else:
-            gi = cell.inp(prep, xs)
+            if fxi is not None:
+                src = jnp.flip(xs, axis=0) if reverse else xs
+                ys = gru_scan_fused_xin(src, *fxi, uf, prz, pn, state0,
+                                        mode=mode, interpret=_use_interpret())
+            else:
+                gi = cell.inp(prep, xs)
+                if reverse:
+                    gi = jnp.flip(gi, axis=0)
+                ys = gru_scan_fused(gi, uf, prz, pn, state0, mode=mode,
+                                    interpret=_use_interpret())
+            h_last = ys[-1]
             if reverse:
-                gi = jnp.flip(gi, axis=0)
-            ys = gru_scan_fused(gi, uf, prz, pn, state0, mode=mode,
-                                interpret=_use_interpret())
-        h_last = ys[-1]
-        if reverse:
-            ys = jnp.flip(ys, axis=0)
-        return ys, h_last
+                ys = jnp.flip(ys, axis=0)
+            return ys, h_last
 
     gi = cell.inp(prep, xs)  # [T, B, G*h] — hoisted, time-parallel
 
@@ -142,15 +199,17 @@ class RNN:
 
     cells: tuple
     unroll: int = 1
-    # "xla" | "pallas" (fused whole-scan kernel) | "pipelined" (wavefront
-    # multi-layer schedule, `ops.pipeline` — ~L× shorter serial chain for
-    # uniform stacks; falls back per-call when the stack doesn't qualify) |
-    # "pallas_pipelined" (the wavefront *inside* one Pallas kernel with all
-    # layers' factors VMEM-resident, `ops.pallas_pipeline` — combines the
-    # latency cut with the HBM-traffic cut; falls back to "pallas" per-layer
-    # when the stack doesn't qualify)
+    # Production backends: "xla" | "pallas" (fused whole-scan kernel — the
+    # fastest measured path at every depth).  RETIRED experiment knobs
+    # (require VMLMF_EXPERIMENTAL_WAVEFRONT=1; measured slower than
+    # per-layer "pallas" everywhere — see docs/wavefront.md): "pipelined"
+    # (XLA wavefront, `ops.pipeline`) | "pallas_pipelined" (VMEM-resident
+    # wavefront kernel, `ops.pallas_pipeline`).
     backend: str = "xla"
     precision: str | None = None  # fused-kernel matmul precision: f32 | bf16
+
+    def __post_init__(self):
+        _check_backend(self.backend)
 
     def init(self, key, dtype=jnp.float32):
         keys = jax.random.split(key, len(self.cells))

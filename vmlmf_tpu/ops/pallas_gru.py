@@ -40,6 +40,7 @@ from vmlmf_tpu.ops.pallas_scan import (
     _compiler_params,
     _pad_to,
     _pick_tiles,
+    _require_tiles,
     _round_up,
     _weights_nbytes,
 )
@@ -148,7 +149,8 @@ def _fwd_call(stream, xw, uf, prz, pn, h0, *, lowrank, interpret, residuals,
     hp = threehp // 3
     live = (10 if residuals and save_gates else 8) + (3 if xin else 0)
     fixed = _weights_nbytes(uf, prz, pn, ux, vx, bias)
-    sblk, bt = _pick_tiles(t, bp, threehp, live=live, fixed=fixed) or (1, 8)
+    sblk, bt = _require_tiles(
+        _pick_tiles(t, bp, threehp, live=live, fixed=fixed), "GRU forward")
     nb = bp // bt if bp % bt == 0 else -(-bp // bt)
     stream = _pad_to(stream, (t, nb * bt, fp))
     h0 = _pad_to(h0, (nb * bt, hp))
@@ -433,7 +435,8 @@ def _bwd_call(gates, hu, rhu, xres, uf, prz, pn, hprev, dys, *, lowrank,
         fp = threehp
     live = 16 + (4 if xin else 0) + (0 if save_gates else 8)
     fixed = 2 * _weights_nbytes(uf, prz, pn, ux, vx)
-    sblk, bt = _pick_tiles(t, bp, threehp, live=live, fixed=fixed) or (1, 8)
+    sblk, bt = _require_tiles(
+        _pick_tiles(t, bp, threehp, live=live, fixed=fixed), "GRU backward")
     nb = bp // bt if bp % bt == 0 else -(-bp // bt)
     bpad = nb * bt
     if save_gates:
@@ -676,6 +679,10 @@ def gru_scan_fused_xin(xs, ux, vx, bias, uf, prz, pn, h0, *, mode="pre",
     in HBM — the same traffic fix as the LSTM kernel's xin mode (measured 2x
     on the HAR demo there); the GRU x-path has no elementwise term, so only
     the projection + bias move into the kernel.
+
+    The VMLMF_PALLAS_SAVED_GATES residual policy is captured at TRACE time:
+    flipping the env var after a step is jitted has no effect (the jit cache
+    keeps the traced policy) — re-jit to change it.
     """
     t, b, f = xs.shape
     threeh = bias.shape[-1]

@@ -128,6 +128,66 @@ def _pick_tiles(t, bp, fourhp, *, live, budget=None, fixed=0, limit=None):
         sblk = _pick_time_block(t, sblk - 1)
 
 
+def _padded_nbytes(arrs):
+    """Approximate f32 VMEM bytes of weight operands after kernel padding
+    (every non-unit axis padded to a 128-lane multiple).  Slightly
+    underestimates gate-blocked layouts (which pad 4h per gate block to
+    4·hp ≥ round_up(4h, 128)) — fine for a fits check whose job is catching
+    catastrophic overflow, not byte-exact accounting."""
+    tot = 0
+    for a in arrs:
+        if a is None:
+            continue
+        n = 4
+        for d in a.shape:
+            n *= d if d == 1 else _round_up(d, 128)
+        tot += n
+    return tot
+
+
+def fused_scan_fits(t, b, gwidth_p, weight_arrs, *, xin):
+    """Would the whole-scan kernels' tile picker find ANY tile for this
+    config — forward (with residuals) AND backward?  Mirrors the live/fixed
+    models of `_fwd_call`/`_bwd_call` (``gwidth_p`` = padded total gate
+    width: 4·hp for the LSTM family, 3·hp for the GRU family;
+    ``weight_arrs`` = the VMEM-resident weight operands, padded bytes
+    estimated from their shapes).
+
+    `nn.recurrence.scan_layer` consults this before routing to the pallas
+    backend; on False it falls back to the XLA scan with a one-time warning
+    instead of letting the kernel compile the proven-unfit minimal tile
+    (which surfaces as an opaque Mosaic VMEM failure).  Reads the
+    VMLMF_PALLAS_SAVED_GATES residual policy at trace time, same as the
+    kernels themselves."""
+    bp = _round_up(b, 8)
+    # gi mode always saves gates; xin mode recomputes unless the env opts out
+    save = (not xin) or os.environ.get("VMLMF_PALLAS_SAVED_GATES") == "1"
+    fixed = _padded_nbytes(weight_arrs)
+    live_f = (10 if save else 9) + (3 if xin else 0)
+    live_b = 16 + (4 if xin else 0) + (0 if save else 8)
+    return (
+        _pick_tiles(t, bp, gwidth_p, live=live_f, fixed=fixed) is not None
+        and _pick_tiles(t, bp, gwidth_p, live=live_b, fixed=2 * fixed)
+        is not None
+    )
+
+
+def _require_tiles(tiles, what):
+    """The tile picker found no fitting (sblk, bt): raise a clear error
+    instead of compiling a proven-unfit tile (opaque Mosaic VMEM failure).
+    Unreachable via `scan_layer`, which pre-checks with `fused_scan_fits`
+    and falls back to the XLA scan; direct kernel callers get this."""
+    if tiles is None:
+        from vmlmf_tpu.ops.vmem import vmem_budgets
+
+        raise ValueError(
+            f"fused-scan {what}: even the minimal (sblk=1, bt=8) tile "
+            f"overflows the VMEM budget {vmem_budgets()!r}; use the XLA scan "
+            "backend (nn.recurrence.scan_layer falls back automatically) or "
+            "raise VMLMF_VMEM_BYTES")
+    return tiles
+
+
 def _compiler_params():
     from vmlmf_tpu.ops.vmem import vmem_budgets
 
@@ -294,9 +354,13 @@ def _fwd_call(stream, xw, u, v, dvec, h0, c0, *, lowrank, interpret, bf16,
         if xin:
             ux = ux.astype(jnp.bfloat16)
             vx = None if vx is None else vx.astype(jnp.bfloat16)
-    live = (10 if residuals and save_gates else 8) + (3 if xin else 0)
+    # residuals without save_gates still streams the double-buffered cs
+    # block (hp wide = ¼ of a fourhp unit) on top of the no-grad path's 8
+    live = (10 if residuals and save_gates else (9 if residuals else 8)) + (
+        3 if xin else 0)
     fixed = _weights_nbytes(u, v, dvec, ux, vx, xdvec, bias)
-    sblk, bt = _pick_tiles(t, bp, fourhp, live=live, fixed=fixed) or (1, 8)
+    sblk, bt = _require_tiles(
+        _pick_tiles(t, bp, fourhp, live=live, fixed=fixed), "forward")
     nb = bp // bt if bp % bt == 0 else -(-bp // bt)
     stream = _pad_to(stream, (t, nb * bt, fp))
     h0 = _pad_to(h0, (nb * bt, hp))
@@ -649,7 +713,8 @@ def _bwd_call(gates, hu, xres, u, v, dvec, hprev, cprev, cs, dys, dclast,
             vx = None if vx is None else vx.astype(jnp.bfloat16)
     live = 16 + (4 if xin else 0) + (0 if save_gates else 8)
     fixed = 2 * _weights_nbytes(u, v, dvec, ux, vx, xdvec)  # operand + grad acc
-    sblk, bt = _pick_tiles(t, bp, fourhp, live=live, fixed=fixed) or (1, 8)
+    sblk, bt = _require_tiles(
+        _pick_tiles(t, bp, fourhp, live=live, fixed=fixed), "backward")
     nb = bp // bt if bp % bt == 0 else -(-bp // bt)
     bpad = nb * bt
     if save_gates:
@@ -903,6 +968,10 @@ def lstm_scan_fused_xin(xs, ux, vx, xdvec, bias, u, v, dvec, h0, c0, *,
     dominant remaining streams of the train step.  Set
     VMLMF_PALLAS_SAVED_GATES=1 to restore the zero-recompute residual policy
     (the latency-bound regime's trade, as used by the gi-mode kernel).
+    NOTE the policy is captured at TRACE time: flipping the env var after a
+    step is jitted has no effect — the jit cache keeps the traced policy.
+    Re-jit (fresh trainer / `jax.clear_caches()`) to change it, as
+    `scripts/bench_residual_policy.py` does.
 
     Gradients flow to every input via the paired backward kernel, which
     computes dx and the x-side weight gradients with batched per-time-block
