@@ -256,15 +256,18 @@ def bench_har_variants(rounds=4):
 
 
 def bench_har_latency_fit(rounds=3):
-    """Serial-latency decomposition of the HAR train step, machine-checked:
-    hold T*B=1944 activations fixed, vary T — a bandwidth/compute-bound step
-    is T-invariant, a serial-latency-bound step scales linearly in T.  Two
+    """Latency decomposition of the HAR train step, machine-checked: hold
+    T*B=1944 activations fixed, vary T — a bandwidth/compute-bound step is
+    T-invariant, a serial-chain-bound step scales linearly in T.  Two
     endpoints (T=8,B=243) and (T=24,B=81) give the per-timestep slope and
-    the per-batch overhead intercept; `har_serial_fraction` is the serial
-    share at the demo config's T=24.  Full 4-point fit + methodology:
-    `scripts/bench_latency_decomposition.py`, output committed in
-    `docs/latency.md`.  Rounds are interleaved across the two configs and
-    medianed (same drift-cancelling rationale as `bench_har_variants`)."""
+    the T-invariant intercept; `har_serial_fraction` is the T-scaling share
+    at the demo config's T=24.  Round-4 finding (docs/latency.md): the
+    fraction is ~0 and the intercept ~215us — the step is fixed-overhead
+    bound, NOT serial-chain bound; a positive slope in a later round means
+    a kernel regression re-serialized the scan.  Full 4-point fit +
+    methodology: `scripts/bench_latency_decomposition.py`.  Rounds are
+    interleaved across the two configs and medianed (same drift-cancelling
+    rationale as `bench_har_variants`)."""
     import statistics
 
     from vmlmf_tpu.cells import VMLMFCell

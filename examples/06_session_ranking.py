@@ -1,0 +1,60 @@
+"""Session-based next-item ranking over a row-sharded item table.
+
+Run: python examples/06_session_ranking.py
+     (JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
+      to see the sharded path on a virtual 8-device mesh)
+
+The BASELINE.json north-star stretch config: a VMLMF session encoder scores
+a catalog whose embedding table is row-sharded over the mesh's `model`
+axis.  Retrieval never materializes (or all-gathers) the full [B, N] score
+row — each shard scores its own N/S rows, takes a local top-k, and only
+S·k (score, id) candidates cross the ICI for the global merge.  Training
+reuses the full LM engine (full-CE next-item objective, manual SGD) with
+the same sharded table.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vmlmf_tpu.parallel.mesh import make_mesh
+from vmlmf_tpu.parallel.sharding import lm_param_sharding
+from vmlmf_tpu.serve import SessionRanker
+
+N_ITEMS, HIDDEN, BATCH, T, K = 4096, 64, 8, 12, 10
+
+ranker = SessionRanker.create(N_ITEMS, hidden_size=HIDDEN, num_layers=1,
+                              w_rank=16, u_rank=16, backend="xla")
+
+# ---- training: next-item prediction with the LM engine -------------------
+n_dev = len(jax.devices())
+mesh = make_mesh(data=2, model=n_dev // 2) if n_dev >= 4 else None
+trainer = ranker.trainer(batch_size=BATCH, seq_length=T, mesh=mesh,
+                         fuse_chunks=1, learning_rate=1.0)
+params = trainer.init()
+states = trainer.state0()
+rng = np.random.RandomState(0)
+for step in range(5):
+    sess = rng.randint(0, N_ITEMS, (T, BATCH))
+    nxt = np.roll(sess, -1, axis=0)
+    xb, yb = trainer.commit_batch(sess, nxt)
+    params, states, loss, _ = trainer._train_step(
+        params, states, xb, yb, jnp.float32(1.0), jax.random.PRNGKey(step))
+    print(f"step {step}: next-item CE {float(loss) / BATCH:.3f}")
+
+# ---- serving: encode the session, retrieve top-K -------------------------
+session = jnp.asarray(rng.randint(0, N_ITEMS, (T, BATCH)))
+if mesh is not None:
+    params = jax.device_put(params, lm_param_sharding(params, mesh))
+scores, ids = jax.jit(
+    lambda p, s: ranker.rank_next(p, s, K, mesh=mesh, exclude_seen=True)
+)(params, session)
+print("top-K item ids for session 0:", np.asarray(ids)[0])
+print("scores:", np.round(np.asarray(scores)[0], 3))
+
+# the sharded retrieval equals the single-device oracle
+oracle_scores, oracle_ids = ranker.rank_next(
+    jax.device_put(jax.tree.map(np.asarray, params)), session, K,
+    exclude_seen=True)
+assert np.array_equal(np.asarray(ids), np.asarray(oracle_ids))
+print("sharded top-K == unsharded oracle ✓")

@@ -1,13 +1,24 @@
-"""Decompose the HAR train step's time: serial-chain latency vs bandwidth.
+"""Decompose a train step's time: serial-chain latency vs bandwidth/compute.
 
 Protocol: hold the activation count T*B (and so FLOPs and HBM bytes) fixed
 while varying T.  A bandwidth/compute-bound step is invariant in T; a
 serial-latency-bound step scales linearly with T (the per-timestep
 dependent-matmul + VPU-epilogue chain).  The slope IS the per-step serial
-latency; the T->0 intercept is the per-batch overhead (dispatch, glue,
-Adam).
+latency; the T->0 intercept is the T-invariant work (dispatch, glue,
+optimizer — and for the LM, the whole softmax head, whose matmul sees
+T*B rows regardless of T).
 
-Usage: python scripts/bench_latency_decomposition.py [rounds]
+Modes:
+  har — reference demo config (layers [180] w8/u6), T*B = 1944
+  lm  — PTB flagship (2x650 w300/u300, fused-chunk manual SGD), T*B = 700
+        tokens/chunk; the serial chain is 2 layers x T steps, so the fit is
+        vs L*T (us per layer-timestep)
+
+Fit outputs are committed to docs/latency.md and the HAR two-point version
+is machine-checked per round via bench.py's har_us_per_timestep /
+har_us_overhead / har_serial_fraction extras.
+
+Usage: python scripts/bench_latency_decomposition.py [har|lm] [rounds]
 """
 import os
 import statistics
@@ -45,8 +56,70 @@ def measure(t, b, rounds, fuse=64, feats=77):
     return statistics.median(vals)
 
 
+def measure_lm(t, b, rounds, fuse=16, vocab=10000, hidden=650, rank=300):
+    """us per fused TBPTT chunk (700 tokens) at the PTB flagship shapes."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vmlmf_tpu.cells import VMLMFCell
+    from vmlmf_tpu.nn.models import LMModel
+    from vmlmf_tpu.train.lm import LMTrainer
+
+    model = LMModel(vocab_size=vocab, hidden_size=hidden, num_layers=2,
+                    cell_factory=lambda n, h: VMLMFCell(n, h, w_rank=rank,
+                                                        u_rank=rank),
+                    dropout_rate=0.5, winit=0.05, backend="pallas")
+    tr = LMTrainer(model, batch_size=b, seq_length=t, fuse_chunks=fuse)
+    p = tr.init()
+    s = tr.state0()
+    xs = jnp.asarray(np.random.RandomState(0).randint(0, vocab, (fuse, t, b)))
+    ys = jnp.asarray(np.random.RandomState(1).randint(0, vocab, (fuse, t, b)))
+    p, s, losses, _ = tr._fused_chunks(p, s, xs, ys, jnp.float32(1.0),
+                                       jax.random.PRNGKey(0))
+    l0 = float(losses[-1])
+    vals = []
+    for i in range(rounds):
+        t0 = time.perf_counter()
+        for j in range(3):
+            p, s, losses, _ = tr._fused_chunks(p, s, xs, ys, jnp.float32(1.0),
+                                               jax.random.PRNGKey(i * 3 + j))
+        l1 = float(losses[-1])
+        vals.append((time.perf_counter() - t0) / (3 * fuse) * 1e6)
+    assert l1 != l0
+    return statistics.median(vals)
+
+
+def fit_and_print(res, x_of, x_name, x_eval):
+    """Least-squares us = a*x + c over [(x, us)] points."""
+    pts = [(x_of(r), r[-1]) for r in res]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(u for _, u in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * u for x, u in pts)
+    a = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    c = (sy - a * sx) / n
+    frac = a * x_eval / (a * x_eval + c)
+    print(f"fit: time = {a:.2f} us/{x_name} * {x_name.upper()} + {c:.1f} us "
+          f"T-invariant (serial fraction at {x_name}={x_eval}: {frac:.2f})")
+    return a, c, frac
+
+
 def main():
-    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    mode = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].isdigit() else "har"
+    rounds = int(sys.argv[-1]) if sys.argv[-1].isdigit() else 3
+    if mode == "lm":
+        # fixed T*B = 700 tokens per chunk (the flagship chunk size); the
+        # serial chain is L=2 layers x T steps
+        configs = [(10, 70), (20, 35), (35, 20), (70, 10)]
+        res = []
+        for t, b in configs:
+            us = measure_lm(t, b, rounds)
+            res.append((t, b, us))
+            print(f"T={t:3d} B={b:3d}: {us:8.1f} us/chunk "
+                  f"({700 / us * 1e6 / 1e3:.1f}k words/s-equivalent)")
+        fit_and_print(res, lambda r: 2 * r[0], "layer-step", 70)
+        return
     # fixed T*B = 1944 activations per batch step (the demo config's count);
     # every T divides 1944 exactly so all points carry identical work
     configs = [(8, 243), (12, 162), (24, 81), (36, 54)]
@@ -56,16 +129,7 @@ def main():
         res.append((t, b, us))
         print(f"T={t:3d} B={b:3d}: {us:8.1f} us/batch-step "
               f"({b / us * 1e6 / 1e3:.1f}k seq/s-equivalent)")
-    # least-squares us = a*T + c
-    n = len(res)
-    sx = sum(t for t, _, _ in res)
-    sy = sum(u for _, _, u in res)
-    sxx = sum(t * t for t, _, _ in res)
-    sxy = sum(t * u for t, _, u in res)
-    a = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    c = (sy - a * sx) / n
-    print(f"fit: time = {a:.2f} us/timestep * T + {c:.1f} us overhead "
-          f"(serial fraction at T=24: {a * 24 / (a * 24 + c):.2f})")
+    fit_and_print(res, lambda r: r[0], "timestep", 24)
 
 
 if __name__ == "__main__":

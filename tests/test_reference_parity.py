@@ -880,16 +880,22 @@ def test_har_trajectory_parity_protocol_scale(ref_vmlmf, ref_train):
     with torch.no_grad():
         ref_logits = t2n(net(torch.tensor(x_hold)))
     logits = np.asarray(model.apply(params, x_hold))
-    # measured band (2026-08-20): max |logit diff| ~2e-3 after 18 Adam steps,
+    # measured band (2026-08-20, full 79-batch epochs): see docs/parity.md;
     # dominated by torch-CPU threading nondeterminism between runs
+    print(f"\n[band] HAR protocol-scale ({epochs * nb} Adam steps): "
+          f"max|logit diff|={np.abs(logits - ref_logits).max():.2e}")
     assert_close(logits, ref_logits, atol=5e-3, rtol=5e-3,
-                 msg="protocol-scale logits after 18 identical Adam steps")
+                 msg=f"protocol-scale logits after {epochs * nb} Adam steps")
     # prediction agreement on the held-out batch (the metric the protocol
     # reports is argmax accuracy); measured 0.988-1.0 across runs
     agree = (logits.argmax(-1) == ref_logits.argmax(-1)).mean()
+    print(f"[band] HAR protocol-scale: held-out argmax agreement={agree}")
     assert agree >= 0.95, f"held-out argmax agreement {agree}"
     trained_ref = _vmlmf_params_from_ref(net.rnn.rnncells[0], h)
-    for k, v in trained_ref.items():  # measured max diff ~6e-3
+    pmax = max(float(jnp.abs(params["rnn"][0][k] - v).max())
+               for k, v in trained_ref.items())
+    print(f"[band] HAR protocol-scale: max|trained param diff|={pmax:.2e}")
+    for k, v in trained_ref.items():
         assert_close(params["rnn"][0][k], v, atol=1e-2, rtol=1e-2,
                      msg=f"protocol-scale trained param {k}")
 
@@ -939,12 +945,17 @@ def test_lm_trajectory_parity_protocol_scale(ref_lm, ref_lm_test):
     assert hist[1]["lr"] == pytest.approx(lr / factor), hist
     my_val_ppl = trainer.perplexity(params, vld)
 
+    print(f"\n[band] LM flagship-scale ({epochs} epochs, decay taken): "
+          f"ppl rel diff={abs(my_val_ppl - ref_val_ppl) / ref_val_ppl:.2e}")
     assert abs(my_val_ppl - ref_val_ppl) / ref_val_ppl < 1e-2, (
         f"flagship-scale val ppl diverged: ref {ref_val_ppl:.4f} "
         f"vs {my_val_ppl:.4f}")
     trained_ref = _lm_params_from_ref(ref_model, h, layers)
     flat_a, _ = jax.tree_util.tree_flatten_with_path(params)
     flat_b, _ = jax.tree_util.tree_flatten_with_path(trained_ref)
+    pmax = max(float(jnp.abs(a - bv).max())
+               for (_, a), (_, bv) in zip(flat_a, flat_b))
+    print(f"[band] LM flagship-scale: max|trained param diff|={pmax:.2e}")
     for (pa, a), (pb, bv) in zip(flat_a, flat_b):
         assert_close(a, bv, atol=5e-3, rtol=5e-3,
                      msg=f"flagship-scale trained param {jax.tree_util.keystr(pa)}")
