@@ -18,6 +18,15 @@ input projections recomputed inside every timestep (the op structure of
 per-batch loop, `train.py:58`).  Values > 1 mean the TPU-native design beats
 a direct port of the reference's design.
 
+Timing protocol (round 4): every loop is timed at TWO iteration counts and
+the per-dispatch DEVICE time solved out (`fit_device_seconds`) — the
+closing D2H value read costs a ~30ms tunnel relay on this runtime, and
+dividing raw loop time by steps folds an iteration-count-dependent share of
+that relay into the throughput (rounds <= 3 under-reported the HAR headline
+by ~1.5x; quantified in docs/latency.md).  The relay itself is recorded in
+``extra.relay_ms``.  Production (non-tunneled) deployments never pay it:
+results stream asynchronously and the read amortizes over an epoch.
+
 ``extra`` carries the machine-checkable secondary metrics so round-over-round
 regressions are visible in BENCH_r*.json:
   * har_mfu / har_fraction_of_roofline / har_bound — achieved-vs-roofline for
@@ -141,21 +150,33 @@ def bench_har():
 
     # production path: epoch-fused scan over batches.
     # Timing protocol: chain all iterations through (params, opt_state), then
-    # ONE device-to-host value read of the final losses.  A real value read
+    # ONE device-to-host value read of the final losses (a real value read
     # must wait for the whole dependency chain; `block_until_ready` on this
-    # tunneled runtime can return before queued work executes, and a read per
-    # call pays ~30ms relay round-trip each — both distort badly.  The loss
-    # value moving across calls proves the work actually ran.
+    # tunneled runtime can return before queued work executes).  The closing
+    # read costs a ~30ms tunnel relay, so the loop is timed at TWO iteration
+    # counts and the per-dispatch DEVICE time solved out (fit_device_seconds)
+    # — reporting raw loop time divided by steps would fold an
+    # iteration-count-dependent share of the relay into the throughput
+    # (docs/latency.md quantifies the bias).  The loss value moving across
+    # calls proves the work actually ran.
     p, o, losses = trainer._fused_steps(params, opt_state, xs, ys)  # compile
-    loss_start = float(losses[-1])
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        p, o, losses = trainer._fused_steps(p, o, xs, ys)
-    loss_end = float(losses[-1])  # single D2H read closes the chain
-    sec_per_batch = (time.perf_counter() - t0) / (iters * fuse)
+    state = {"p": p, "o": o, "l": float(losses[-1])}
+
+    def timed(iters):
+        p, o = state["p"], state["o"]
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            p, o, losses = trainer._fused_steps(p, o, xs, ys)
+        l1 = float(losses[-1])
+        dt = time.perf_counter() - t0
+        assert l1 != state["l"], "training chain did not execute"
+        state.update(p=p, o=o, l=l1)
+        return dt
+
+    dev_sec, relay = fit_device_seconds(timed, counts=(4, 32), rounds=3)
+    sec_per_batch = dev_sec / fuse
     seq_per_sec = batch / sec_per_batch
-    assert loss_end != loss_start, "training chain did not execute"
+    p = state["p"]
 
     # roofline accounting: HARDWARE forward FLOPs x3 for fwd+bwd, documented
     # HBM-byte estimate, measured seconds.  NOTE: the reference's analytic
@@ -171,19 +192,28 @@ def bench_har():
     roof = roofline_report(train_flops, hbm, sec_per_batch, chip=chip, dtype="f32")
     mfu = roof["achieved_flops_per_s"] / TPU_PEAKS[chip]["f32"]
 
-    # baseline path: unhoisted math, per-batch host dispatch
-    # (fresh params — the production path donated its buffers)
+    # baseline path: unhoisted math, per-batch host dispatch (fresh params —
+    # the production path donated its buffers).  Same two-count device fit
+    # so the ratio compares device times, not relay-bias artifacts.
     opt = optax.adam(2e-3)
     naive_step = build_naive_step(model, opt)
     pn = model.init(jax.random.PRNGKey(3))
     on = opt.init(pn)
     pn, on, loss = naive_step(pn, on, xs[0], ys[0])  # compile
-    _ = float(loss)
-    t0 = time.perf_counter()
-    for i in range(50):
-        pn, on, loss = naive_step(pn, on, xs[i % fuse], ys[i % fuse])
-    _ = float(loss)  # single D2H read closes the chain
-    sec_naive = (time.perf_counter() - t0) / 50
+    nstate = {"p": pn, "o": on, "l": float(loss)}
+
+    def timed_naive(iters):
+        pn, on = nstate["p"], nstate["o"]
+        t0 = time.perf_counter()
+        for i in range(iters):
+            pn, on, loss = naive_step(pn, on, xs[i % fuse], ys[i % fuse])
+        l1 = float(loss)
+        dt = time.perf_counter() - t0
+        assert l1 != nstate["l"], "baseline chain did not execute"
+        nstate.update(p=pn, o=on, l=l1)
+        return dt
+
+    sec_naive, _ = fit_device_seconds(timed_naive, counts=(16, 64), rounds=3)
 
     return {
         "seq_per_sec": seq_per_sec,
@@ -192,12 +222,14 @@ def bench_har():
         "fraction_of_roofline": roof["fraction_of_roofline"],
         "bound": roof["bound"],
         "chip": chip,
+        "relay_ms": relay * 1e3,
     }
 
 
 def _har_timer(model, batch=81, t=24, feats=77, fuse=64):
     """Compile a fused-epoch HAR trainer once and return a closure that
-    times `iters` chained dispatches, closed by one D2H value read."""
+    times `iters` chained dispatches, closed by one D2H value read.
+    Returns SECONDS for the whole loop (feed to `fit_device_seconds`)."""
     from vmlmf_tpu.train.har import HARTrainer
 
     tr = HARTrainer(model, learning_rate=2e-3, batch_size=batch,
@@ -217,9 +249,36 @@ def _har_timer(model, batch=81, t=24, feats=77, fuse=64):
         dt = time.perf_counter() - t0
         assert l1 != state["l"], "training chain did not execute"
         state.update(p=p, o=o, l=l1)
-        return batch * iters * fuse / dt
+        return dt
 
     return timed
+
+
+def fit_device_seconds(timed, counts=(4, 32), rounds=3):
+    """Separate true per-dispatch DEVICE time from the timing loop's fixed
+    cost (the closing D2H value read costs a ~30ms tunnel relay round trip
+    on this runtime; dispatch enqueue is async/free).
+
+    Measured model (docs/latency.md iters sweep, fit residuals < 3%):
+        loop_seconds(iters) = device * iters + fixed
+    Timing at two iteration counts and solving the 2x2 system removes the
+    iteration-count-dependent bias that inflated every round <= 3 number
+    (e.g. the r3 HAR headline at iters=10 carried 30.8ms/640 = 48us/step of
+    relay on a 71us device step).  Rounds are interleaved across the two
+    counts and medianed (drift-cancelling).  -> (device_seconds_per_dispatch,
+    fixed_seconds_per_loop)."""
+    import statistics
+
+    lo, hi = counts
+    samples = {lo: [], hi: []}
+    for _ in range(rounds):
+        samples[lo].append(timed(lo))
+        samples[hi].append(timed(hi))
+    tlo = statistics.median(samples[lo])
+    thi = statistics.median(samples[hi])
+    device = (thi - tlo) / (hi - lo)
+    fixed = tlo - device * lo
+    return max(device, 1e-12), max(fixed, 0.0)
 
 
 def bench_har_variants(rounds=4):
@@ -227,10 +286,11 @@ def bench_har_variants(rounds=4):
     group-VMLMF demo config and the legacy rank-9 GRU grid, both on the
     x-fused pallas path.
 
-    Protocol (drift-cancelled): this tunneled runtime drifts ±20%+ run-to-
-    run, so instead of one 5-iteration shot per config the two configs'
-    timing rounds are INTERLEAVED (group, gru, group, gru, ...) inside one
-    process and each config reports its median across `rounds` — slow
+    Protocol (drift-cancelled + relay-free): this tunneled runtime drifts
+    ±20%+ run-to-run and every timing loop's closing D2H read costs ~30ms
+    of relay, so each config is timed at two iteration counts (device time
+    solved out, `fit_device_seconds`) with the two configs' rounds
+    INTERLEAVED (group, gru, group, gru, ...) inside one process — slow
     runtime drift hits both configs alike, so round-over-round deltas in
     BENCH_r*.json are attributable to code, not runtime weather (the
     `scripts/bench_residual_policy.py` protocol)."""
@@ -239,6 +299,7 @@ def bench_har_variants(rounds=4):
     from vmlmf_tpu.cells import GRUCell, VMLMFGroupCell
     from vmlmf_tpu.nn.models import HARNet
 
+    batch, fuse = 81, 64
     timers = {
         "har_group_seq_per_sec": _har_timer(HARNet(
             input_size=77, layer_sizes=(180,), backend="pallas",
@@ -248,11 +309,16 @@ def bench_har_variants(rounds=4):
             input_size=77, layer_sizes=(64, 64), backend="pallas",
             cell_factory=lambda n, h: GRUCell(n, h, w_rank=9, u_rank=9))),
     }
-    samples = {k: [] for k in timers}
+    samples = {k: {4: [], 32: []} for k in timers}
     for _ in range(rounds):
         for k, timed in timers.items():
-            samples[k].append(timed())
-    return {k: statistics.median(v) for k, v in samples.items()}
+            samples[k][4].append(timed(4))
+            samples[k][32].append(timed(32))
+    out = {}
+    for k, s in samples.items():
+        dev = (statistics.median(s[32]) - statistics.median(s[4])) / (32 - 4)
+        out[k] = batch * fuse / dev
+    return out
 
 
 def bench_har_latency_fit(rounds=3):
@@ -262,9 +328,10 @@ def bench_har_latency_fit(rounds=3):
     endpoints (T=8,B=243) and (T=24,B=81) give the per-timestep slope and
     the T-invariant intercept; `har_serial_fraction` is the T-scaling share
     at the demo config's T=24.  Round-4 finding (docs/latency.md): the
-    fraction is ~0 and the intercept ~215us — the step is fixed-overhead
-    bound, NOT serial-chain bound; a positive slope in a later round means
-    a kernel regression re-serialized the scan.  Full 4-point fit +
+    fraction is ~0 and the device intercept ~72us — the step is bound by
+    T-invariant work, NOT the serial chain; a positive slope in a later
+    round means a kernel regression re-serialized the scan.  Full 4-point
+    fit +
     methodology: `scripts/bench_latency_decomposition.py`.  Rounds are
     interleaved across the two configs and medianed (same drift-cancelling
     rationale as `bench_har_variants`)."""
@@ -277,16 +344,20 @@ def bench_har_latency_fit(rounds=3):
         model = HARNet(
             input_size=77, layer_sizes=(180,), backend="pallas",
             cell_factory=lambda n, h: VMLMFCell(n, h, w_rank=8, u_rank=6))
-        timed = _har_timer(model, batch=batch, t=t)
-        # convert seq/s back to µs per fused batch-step for the fit
-        return lambda: batch / timed() * 1e6
+        return _har_timer(model, batch=batch, t=t)
 
     configs = {8: make(243, 8), 24: make(81, 24)}
-    us = {t: [] for t in configs}
+    secs = {t: {4: [], 32: []} for t in configs}
     for _ in range(rounds):
         for t, timed in configs.items():
-            us[t].append(timed())
-    u8, u24 = statistics.median(us[8]), statistics.median(us[24])
+            secs[t][4].append(timed(4))
+            secs[t][32].append(timed(32))
+
+    def dev_us(s):  # device µs per batch-step, relay solved out
+        dev = (statistics.median(s[32]) - statistics.median(s[4])) / (32 - 4)
+        return dev / 64 * 1e6
+
+    u8, u24 = dev_us(secs[8]), dev_us(secs[24])
     slope = (u24 - u8) / (24 - 8)
     intercept = u8 - slope * 8
     serial = slope * 24 / (slope * 24 + intercept)
@@ -315,16 +386,24 @@ def bench_lm(chip):
 
     p, s, losses, _ = trainer._fused_chunks(params, states, xs, ys,
                                             jnp.float32(1.0), jax.random.PRNGKey(0))
-    l0 = float(losses[-1])
-    iters = 5
-    t0 = time.perf_counter()
-    for i in range(iters):
-        p, s, losses, _ = trainer._fused_chunks(p, s, xs, ys, jnp.float32(1.0),
-                                                jax.random.PRNGKey(i))
-    l1 = float(losses[-1])
-    dt = time.perf_counter() - t0
-    assert l1 != l0, "LM training chain did not execute"
-    train_wps = iters * fuse * t * b / dt
+    lstate = {"p": p, "s": s, "l": float(losses[-1]), "i": 0}
+
+    def timed_train(iters):
+        p, s = lstate["p"], lstate["s"]
+        t0 = time.perf_counter()
+        for i in range(iters):
+            p, s, losses, _ = trainer._fused_chunks(
+                p, s, xs, ys, jnp.float32(1.0),
+                jax.random.PRNGKey(lstate["i"] + i))
+        l1 = float(losses[-1])
+        dt = time.perf_counter() - t0
+        assert l1 != lstate["l"], "LM training chain did not execute"
+        lstate.update(p=p, s=s, l=l1, i=lstate["i"] + iters)
+        return dt
+
+    dev_sec, _ = fit_device_seconds(timed_train, counts=(1, 5), rounds=3)
+    train_wps = fuse * t * b / dev_sec
+    p, s = lstate["p"], lstate["s"]
 
     # hardware train FLOPs/word: 2 recurrent layers + embed (gather) + head
     cell_fwd = vmlmf_hw_flops(hidden, hidden, 300, 300)
@@ -335,16 +414,62 @@ def bench_lm(chip):
     # inference: fused no-grad eval — one dispatch per 64-chunk stack,
     # state carried on device (the serving-style batch-eval path)
     losses, s2 = trainer._eval_chunks(p, s, xs, ys)  # compile
-    _ = float(losses[-1])
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        losses, s2 = trainer._eval_chunks(p, s2, xs, ys)
-    _ = float(losses[-1])
-    infer_wps = iters * fuse * t * b / (time.perf_counter() - t0)
+    estate = {"s": s2, "l": float(losses[-1])}
+
+    def timed_eval(iters):
+        s2 = estate["s"]
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            losses, s2 = trainer._eval_chunks(p, s2, xs, ys)
+        _ = float(losses[-1])
+        dt = time.perf_counter() - t0
+        estate["s"] = s2
+        return dt
+
+    edev, _ = fit_device_seconds(timed_eval, counts=(1, 5), rounds=3)
+    infer_wps = fuse * t * b / edev
 
     return {"lm_train_wps": train_wps, "lm_infer_wps": infer_wps,
-            "lm_train_mfu": lm_mfu, "lm_loss_moved": [l0, l1]}
+            "lm_train_mfu": lm_mfu}
+
+
+def bench_ranker(n_items=100_000, t=35, b=128, k=100, iters=10):
+    """Session-ranking serving throughput (BASELINE.json configs[4]) on one
+    chip: encode a [T, B] session batch (fused scan) + score the full item
+    table + top-K, all one jitted dispatch (`SessionRanker.rank_next`).
+    Chained through a score-derived next batch; one closing D2H read."""
+    from vmlmf_tpu.serve.ranker import SessionRanker
+
+    r = SessionRanker.create(n_items, hidden_size=650, num_layers=1,
+                             w_rank=300, u_rank=300, backend="pallas")
+    params = r.init(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def step(params, sess, acc):
+        scores, ids = r.rank_next(params, sess, k)
+        nxt = jnp.concatenate([sess[1:], ids[:, :1].T % n_items], axis=0)
+        # strictly-increasing accumulator: greedy self-feeding converges to
+        # a fixed cycle, so a raw score value can legitimately repeat — the
+        # completion proof must be a value that moves every step
+        return nxt, acc + 1.0 + jnp.abs(scores[0, 0])
+
+    sess0 = jnp.asarray(np.random.RandomState(0).randint(0, n_items, (t, b)))
+    sess, acc = step(params, sess0, jnp.float32(0.0))  # compile + warm
+    rstate = {"sess": sess, "acc": acc, "a": float(acc)}
+
+    def timed(iters):
+        sess, acc = rstate["sess"], rstate["acc"]
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            sess, acc = step(params, sess, acc)
+        a1 = float(acc)
+        dt = time.perf_counter() - t0
+        assert a1 > rstate["a"], "ranking chain did not execute"
+        rstate.update(sess=sess, acc=acc, a=a1)
+        return dt
+
+    dev, _ = fit_device_seconds(timed, counts=(8, 64), rounds=3)
+    return {"ranker_sessions_per_sec": b / dev}
 
 
 def main():
@@ -354,10 +479,21 @@ def main():
     # variants first: bench_har's reference-faithful baseline phase hammers
     # the host-dispatch path and measurably depresses whatever runs next on
     # this tunneled runtime
+    import sys
+
+    def note(msg):  # progress to stderr; stdout stays the one JSON line
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
     variants = bench_har_variants()
+    note(f"variants done {variants}")
     har = bench_har()
+    note(f"har done {har['seq_per_sec']:.0f} seq/s")
     latency = bench_har_latency_fit()
+    note(f"latency fit done {latency}")
     lm = bench_lm(har["chip"])
+    note(f"lm done {lm['lm_train_wps']:.0f} wps")
+    ranker = bench_ranker()
+    note(f"ranker done {ranker}")
 
     print(json.dumps({
         "metric": "vmlmf_har_train_throughput",
@@ -366,6 +502,7 @@ def main():
         "vs_baseline": round(har["vs_baseline"], 3),
         "extra": {
             "chip": har["chip"],
+            "relay_ms": round(har["relay_ms"], 1),
             "har_mfu": round(har["mfu"], 5),
             "har_fraction_of_roofline": round(har["fraction_of_roofline"], 4),
             "har_bound": har["bound"],
@@ -377,6 +514,8 @@ def main():
             "lm_train_wps": round(lm["lm_train_wps"], 1),
             "lm_infer_wps": round(lm["lm_infer_wps"], 1),
             "lm_train_mfu": round(lm["lm_train_mfu"], 5),
+            "ranker_sessions_per_sec": round(
+                ranker["ranker_sessions_per_sec"], 1),
         },
     }))
 

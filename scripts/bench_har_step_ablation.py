@@ -72,6 +72,9 @@ def main():
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     from vmlmf_tpu.cells import VMLMFCell
     from vmlmf_tpu.nn.models import HARNet
+    from vmlmf_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     batch, t, feats, fuse = 81, 24, 77, 64
     model = HARNet(input_size=feats, layer_sizes=(180,),
@@ -91,6 +94,7 @@ def main():
         p, o, losses = fn(p, o, xs, ys)  # compile + warm
         runners[kind] = fn
         state[kind] = (p, o, float(losses[-1]))
+        print(f"compiled {kind}", flush=True)
 
     samples = {k: [] for k in kinds}
     for _ in range(rounds):

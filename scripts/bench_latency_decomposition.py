@@ -31,6 +31,9 @@ import jax
 
 
 def measure(t, b, rounds, fuse=64, feats=77):
+    """Device us per fused batch-step (relay solved out via the two-count
+    fit — `bench.fit_device_seconds`)."""
+    from bench import fit_device_seconds
     from vmlmf_tpu.cells import VMLMFCell
     from vmlmf_tpu.nn.models import HARNet
     from vmlmf_tpu.train.har import HARTrainer
@@ -44,23 +47,30 @@ def measure(t, b, rounds, fuse=64, feats=77):
     xs = jax.random.normal(jax.random.PRNGKey(0), (fuse, b, t, feats))
     ys = jax.random.randint(jax.random.PRNGKey(1), (fuse, b), 0, 18)
     p, o, losses = tr._fused_steps(p, o, xs, ys)  # compile + warm
-    l0 = float(losses[-1])
-    vals = []
-    for _ in range(rounds):
+    state = {"p": p, "o": o, "l": float(losses[-1])}
+
+    def timed(iters):
+        p, o = state["p"], state["o"]
         t0 = time.perf_counter()
-        for _ in range(3):
+        for _ in range(iters):
             p, o, losses = tr._fused_steps(p, o, xs, ys)
         l1 = float(losses[-1])
-        vals.append((time.perf_counter() - t0) / (3 * fuse) * 1e6)
-    assert l1 != l0
-    return statistics.median(vals)
+        dt = time.perf_counter() - t0
+        assert l1 != state["l"]
+        state.update(p=p, o=o, l=l1)
+        return dt
+
+    dev, _ = fit_device_seconds(timed, counts=(4, 32), rounds=rounds)
+    return dev / fuse * 1e6
 
 
 def measure_lm(t, b, rounds, fuse=16, vocab=10000, hidden=650, rank=300):
-    """us per fused TBPTT chunk (700 tokens) at the PTB flagship shapes."""
+    """Device us per fused TBPTT chunk (700 tokens) at the PTB flagship
+    shapes (relay solved out via the two-count fit)."""
     import jax.numpy as jnp
     import numpy as np
 
+    from bench import fit_device_seconds
     from vmlmf_tpu.cells import VMLMFCell
     from vmlmf_tpu.nn.models import LMModel
     from vmlmf_tpu.train.lm import LMTrainer
@@ -76,17 +86,23 @@ def measure_lm(t, b, rounds, fuse=16, vocab=10000, hidden=650, rank=300):
     ys = jnp.asarray(np.random.RandomState(1).randint(0, vocab, (fuse, t, b)))
     p, s, losses, _ = tr._fused_chunks(p, s, xs, ys, jnp.float32(1.0),
                                        jax.random.PRNGKey(0))
-    l0 = float(losses[-1])
-    vals = []
-    for i in range(rounds):
+    state = {"p": p, "s": s, "l": float(losses[-1]), "i": 0}
+
+    def timed(iters):
+        p, s = state["p"], state["s"]
         t0 = time.perf_counter()
-        for j in range(3):
-            p, s, losses, _ = tr._fused_chunks(p, s, xs, ys, jnp.float32(1.0),
-                                               jax.random.PRNGKey(i * 3 + j))
+        for i in range(iters):
+            p, s, losses, _ = tr._fused_chunks(
+                p, s, xs, ys, jnp.float32(1.0),
+                jax.random.PRNGKey(state["i"] + i))
         l1 = float(losses[-1])
-        vals.append((time.perf_counter() - t0) / (3 * fuse) * 1e6)
-    assert l1 != l0
-    return statistics.median(vals)
+        dt = time.perf_counter() - t0
+        assert l1 != state["l"]
+        state.update(p=p, s=s, l=l1, i=state["i"] + iters)
+        return dt
+
+    dev, _ = fit_device_seconds(timed, counts=(2, 8), rounds=rounds)
+    return dev / fuse * 1e6
 
 
 def fit_and_print(res, x_of, x_name, x_eval):
@@ -106,6 +122,9 @@ def fit_and_print(res, x_of, x_name, x_eval):
 
 
 def main():
+    from vmlmf_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     mode = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].isdigit() else "har"
     rounds = int(sys.argv[-1]) if sys.argv[-1].isdigit() else 3
     if mode == "lm":

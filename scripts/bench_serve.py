@@ -2,7 +2,11 @@
 
 PTB-config LM (vocab 10k, 2x650, VMLMF w300/u300) at several batch sizes.
 Timing uses the completion-proof protocol (BASELINE.md): chain iterations
-through their outputs and close with one device-to-host value read.
+through their outputs, close with one device-to-host value read, and solve
+the per-block DEVICE time out of two iteration counts
+(`bench.fit_device_seconds`) — the closing read costs a ~30ms tunnel relay
+that round <= 3 folded into the per-step numbers (~24us/step at the old
+20x64 loop; docs/latency.md).
 """
 
 import os
@@ -48,13 +52,19 @@ def bench(batch, iters=20):
     # block_until_ready can return early on this runtime (BASELINE.md), so
     # without this the compile+warm work leaks into the timed window
     _ = int(jnp.sum(out[0]) != 0) + int(toks[-1, 0])
-    t0 = time.perf_counter()
-    toks, out = run(logits, states, iters)
-    closing = int(jnp.sum(out[0]) != 0) + int(toks[-1, 0])  # value read
-    dt = time.perf_counter() - t0
-    tps = iters * STEPS * batch / dt
+
+    def timed(n):
+        t0 = time.perf_counter()
+        toks, out = run(logits, states, n)
+        _ = int(jnp.sum(out[0]) != 0) + int(toks[-1, 0])  # value read
+        return time.perf_counter() - t0
+
+    from bench import fit_device_seconds
+
+    dev, _ = fit_device_seconds(timed, counts=(4, 24), rounds=3)
+    tps = STEPS * batch / dev
     print(f"B={batch:4d}  greedy decode: {tps:,.0f} tokens/sec/chip "
-          f"({dt/iters/STEPS*1e6:.1f} us/step)  [closing={closing}]")
+          f"({dev/STEPS*1e6:.1f} us/step, device)")
     return tps
 
 
@@ -68,15 +78,21 @@ def bench_beam(batch, beams=4, iters=10):
     prompt = jax.random.randint(jax.random.PRNGKey(1), (PROMPT_T, batch), 0, VOCAB)
     _, scores = dec.beam_search(params, prompt, steps=STEPS, beams=beams)
     _ = float(jnp.sum(scores))  # drain compile + warm before the clock
-    t0 = time.perf_counter()
-    scores = None
-    for _ in range(iters):
-        _, scores = dec.beam_search(params, prompt, steps=STEPS, beams=beams)
-    _ = float(jnp.sum(scores))  # value read closes the chain
-    dt = time.perf_counter() - t0
-    sps = iters * STEPS * batch / dt
+
+    def timed(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            _, scores = dec.beam_search(params, prompt, steps=STEPS,
+                                        beams=beams)
+        _ = float(jnp.sum(scores))  # value read closes the chain
+        return time.perf_counter() - t0
+
+    from bench import fit_device_seconds
+
+    dev, _ = fit_device_seconds(timed, counts=(3, 12), rounds=3)
+    sps = STEPS * batch / dev
     print(f"B={batch:4d}  beam W={beams}: {sps:,.0f} sequence-positions/sec/chip "
-          f"({dt/iters/STEPS*1e6:.1f} us/step incl prefill)")
+          f"({dev/STEPS*1e6:.1f} us/step incl prefill, device)")
 
 
 if __name__ == "__main__":
