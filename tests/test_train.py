@@ -328,3 +328,37 @@ class TestProfilingUtils:
         keep.block_until_ready()
         assert live_buffer_bytes() >= before
         del keep
+
+
+class TestDeviceTimeFit:
+    """`bench.fit_device_seconds` — the relay-free timing protocol
+    (docs/latency.md finding 1) must recover (device, fixed) exactly from
+    a synthetic loop-time model and never return negatives."""
+
+    def test_recovers_synthetic_model(self):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        from bench import fit_device_seconds
+
+        calls = []
+
+        def timed(iters):
+            calls.append(iters)
+            return 71.3e-6 * iters + 30.8e-3  # device 71.3us + 30.8ms relay
+
+        dev, fixed = fit_device_seconds(timed, counts=(4, 32), rounds=3)
+        assert abs(dev - 71.3e-6) < 1e-9
+        assert abs(fixed - 30.8e-3) < 1e-9
+        assert calls == [4, 32] * 3  # interleaved rounds
+
+    def test_clamps_noise_to_nonnegative(self):
+        from bench import fit_device_seconds
+
+        # pathological noise: hi count faster than lo -> device clamps to ~0,
+        # fixed to >= 0, never negative/zero division
+        seq = iter([1.0, 0.5] * 3)
+        dev, fixed = fit_device_seconds(lambda n: next(seq), counts=(1, 2),
+                                        rounds=3)
+        assert dev > 0 and fixed >= 0
