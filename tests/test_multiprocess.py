@@ -132,6 +132,32 @@ TRAIN_WORKER = textwrap.dedent(
     tree_close(materialize(mesh2, (ps, ss)),
                (jax.device_get(pr), jax.device_get(sr)), "lm params/state")
 
+    # ---- Ranker: sharded top-K retrieval with the item table row-sharded
+    # ACROSS the two processes (model axis spans the process boundary — the
+    # north-star "multi-host row-sharded item-embedding table" for real:
+    # the per-shard top-k candidates merge over gloo) -----------------------
+    from vmlmf_tpu.parallel.sharding import lm_param_sharding
+    from vmlmf_tpu.serve.ranker import SessionRanker
+
+    rk = SessionRanker.create(256, hidden_size=16, num_layers=1,
+                              w_rank=4, u_rank=4, backend="xla")
+    rparams = rk.init(jax.random.PRNGKey(0))
+    sess = np.random.RandomState(4).randint(0, 256, (9, 4)).astype(np.int32)
+    h, _ = rk.encode(rparams, jnp.asarray(sess))
+    ov, oi = rk.topk(rparams, h, 10)  # replicated single-device oracle
+
+    mesh4 = make_mesh(data=1, model=4)  # 4 global devices: 2 per process
+    rp_s = jax.device_put(rparams, lm_param_sharding(rparams, mesh4))
+    rep4 = NamedSharding(mesh4, P())
+    sv, si = jax.jit(
+        lambda p, hh: rk.topk_sharded(p, hh, 10, mesh4, data_sharded=False),
+        out_shardings=(rep4, rep4))(rp_s, jax.device_put(h, rep4))
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(oi),
+                                  err_msg="cross-process sharded top-K")
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(ov),
+                               atol=1e-5, rtol=1e-5,
+                               err_msg="cross-process sharded top-K scores")
+
     print(f"MPTRAIN-OK {pid}", flush=True)
     """
 )

@@ -166,6 +166,44 @@ class TestShardedTopK:
         np.testing.assert_array_equal(np.asarray(si), np.asarray(oi))
 
 
+class TestEvalMetrics:
+    def test_metrics_against_hand_computation(self):
+        r = small_ranker(num_items=64, hidden=16)
+        params = r.init(KEY)
+        sessions = jax.random.randint(jax.random.PRNGKey(1), (7, 10), 0, 64)
+        # targets = each session's actual top-1 prediction for half the
+        # batch (guaranteed hits at rank 0), impossible ids... use rank-k
+        _, top = r.rank_next(params, sessions, 20)
+        top = np.asarray(top)
+        targets = np.where(np.arange(10) % 2 == 0, top[:, 0], top[:, 4])
+        m = r.eval_metrics(params, sessions, jnp.asarray(targets),
+                           ks=(1, 5, 10))
+        assert m["recall@1"] == 0.5          # even rows hit at rank 0
+        assert m["recall@5"] == 1.0          # odd rows hit at rank 4
+        assert m["mrr"] == pytest.approx(0.5 * 1.0 + 0.5 * (1 / 5))
+
+    def test_metrics_sharded_equal_unsharded(self):
+        r = small_ranker(num_items=256, hidden=16)
+        params = r.init(KEY)
+        mesh = make_mesh(data=2, model=4)
+        sessions = jax.random.randint(jax.random.PRNGKey(1), (7, 8), 0, 256)
+        targets = jax.random.randint(jax.random.PRNGKey(2), (8,), 0, 256)
+        m0 = r.eval_metrics(params, sessions, targets)
+        params_s = jax.device_put(params, lm_param_sharding(params, mesh))
+        m1 = r.eval_metrics(params_s, sessions, targets, mesh=mesh)
+        assert m0 == m1
+
+    def test_random_model_recall_near_chance(self):
+        """Sanity: an untrained model's recall@k over N items ~ k/N."""
+        n = 512
+        r = small_ranker(num_items=n, hidden=16)
+        params = r.init(KEY)
+        sessions = jax.random.randint(jax.random.PRNGKey(1), (5, 200), 0, n)
+        targets = jax.random.randint(jax.random.PRNGKey(2), (200,), 0, n)
+        m = r.eval_metrics(params, sessions, targets, ks=(50,))
+        assert m["recall@50"] < 0.4  # chance is ~0.098
+
+
 class TestRankerTraining:
     def test_full_ce_training_reduces_loss_and_moves_table(self):
         """The ranker trains with the proven LM engine; the item table must

@@ -211,6 +211,31 @@ class SessionRanker:
             return self.topk_sharded(params, h, k, mesh, exclude=exclude)
         return self.topk(params, h, k, exclude=exclude)
 
+    # --------------------------------------------------------- evaluation
+    def eval_metrics(self, params, sessions, targets, *, ks=(1, 5, 10, 20),
+                     mesh=None, exclude_seen=False):
+        """Next-item retrieval metrics over the full catalog.
+
+        sessions: [T, B] item-id prefixes; targets: [B] the true next item.
+        -> dict with ``recall@k`` (hit rate of the target in the top-k) for
+        each k in ``ks`` and ``mrr`` (mean reciprocal rank, truncated at
+        max(ks)) — the standard session-based-recommendation protocol.
+        Retrieval runs through the same single-device or sharded top-K path
+        serving uses, so the metric measures the deployed system."""
+        import numpy as np
+
+        kmax = max(ks)
+        _, top = self.rank_next(params, sessions, kmax, mesh=mesh,
+                                exclude_seen=exclude_seen)
+        top = np.asarray(top)                       # [B, kmax]
+        tgt = np.asarray(targets).reshape(-1, 1)    # [B, 1]
+        hit = top == tgt                            # [B, kmax]
+        # rank of the target within the top-kmax (kmax if absent)
+        rank = np.where(hit.any(axis=1), hit.argmax(axis=1), kmax)
+        out = {f"recall@{k}": float((rank < k).mean()) for k in ks}
+        out["mrr"] = float(np.where(rank < kmax, 1.0 / (rank + 1), 0.0).mean())
+        return out
+
     # ----------------------------------------------------------- training
     def loss(self, params, ids, targets, states, *, rng=None, train=True):
         """Full-CE next-item loss (the LM objective on item sequences):
