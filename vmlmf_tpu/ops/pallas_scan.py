@@ -72,11 +72,17 @@ def _pad_to(x, shape):
     return jnp.pad(x, pads)
 
 
-def _pick_time_block(t, cap=8):
+def _pick_time_block(t, cap=None):
     """Timesteps handled per grid step (static inner loop): the largest
     divisor of T up to `cap`.  Amortizes per-grid-step overhead (~tens of µs)
     across several recurrence steps; must divide T so no state-mutating
-    padding steps are ever executed."""
+    padding steps are ever executed.
+
+    Default cap 8 balances unrolled-code size/compile time against grid-step
+    count; VMLMF_PALLAS_SBLK overrides it (e.g. 24 makes the whole HAR demo
+    scan one grid step — an A/B knob for pricing per-grid-step overhead)."""
+    if cap is None:
+        cap = int(os.environ.get("VMLMF_PALLAS_SBLK", 8))
     for s in range(min(cap, t), 0, -1):
         if t % s == 0:
             return s
