@@ -333,6 +333,21 @@ class TestVmemBudgets:
         small = _pick_tiles(t, bp, fourhp, live=10)
         assert small[0] * small[1] < full[0] * full[1]
 
+    def test_sblk_cap_knob_numerics_invariant(self, monkeypatch):
+        """VMLMF_PALLAS_SBLK (grid-step time-block cap — the per-grid-step
+        overhead A/B knob) must not change results: sblk=1 (max grid steps)
+        and sblk=T (one grid step) match the default."""
+        cell = VMLMFCell(12, 40, w_rank=4, u_rank=4)
+        params = cell.init(KEY)
+        prep = cell.prepare(params)
+        xs = jax.random.normal(jax.random.PRNGKey(1), (12, 5, 12))
+        s0 = (jnp.zeros((5, 40)), jnp.zeros((5, 40)))
+        ys_ref, _ = scan_layer(cell, prep, xs, s0, backend="pallas")
+        for cap in ("1", "12"):
+            monkeypatch.setenv("VMLMF_PALLAS_SBLK", cap)
+            ys, _ = scan_layer(cell, prep, xs, s0, backend="pallas")
+            np.testing.assert_allclose(ys, ys_ref, atol=1e-6, rtol=1e-6)
+
     def test_kernel_correct_under_tiny_budget(self, monkeypatch):
         """Numerics are tile-invariant: the fused kernel under a starved
         budget (many small grid steps) matches the XLA scan."""

@@ -135,6 +135,9 @@ class SessionRanker:
     def topk(self, params, h, k, *, exclude=None):
         """Single-device top-K: -> (scores [B, k], item ids [B, k] int32).
         ``exclude``: optional [T, B] session ids to mask out."""
+        if k > self.num_items:
+            raise ValueError(
+                f"k={k} exceeds the catalog size {self.num_items}")
         scores = self.score(params, h)
         if exclude is not None:
             scores = self._mask_seen(scores, exclude, offset=0)
