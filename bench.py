@@ -487,7 +487,8 @@ def main():
     variants = bench_har_variants()
     note(f"variants done {variants}")
     har = bench_har()
-    note(f"har done {har['seq_per_sec']:.0f} seq/s")
+    note(f"har done {har['seq_per_sec']:.0f} seq/s, "
+         f"{har['vs_baseline']:.1f}x baseline, relay {har['relay_ms']:.1f}ms")
     latency = bench_har_latency_fit()
     note(f"latency fit done {latency}")
     lm = bench_lm(har["chip"])

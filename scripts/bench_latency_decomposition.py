@@ -21,7 +21,6 @@ har_us_overhead / har_serial_fraction extras.
 Usage: python scripts/bench_latency_decomposition.py [har|lm] [rounds]
 """
 import os
-import statistics
 import sys
 import time
 
