@@ -285,3 +285,31 @@ class TestRankerTraining:
                                          jax.random.PRNGKey(10 + i), 48))
             for i in range(20)])
         assert abs(samp - full) < 0.35 * max(full, 1.0), (samp, full)
+
+
+class TestBlockedTopK:
+    """`blocked_topk` must equal `lax.top_k` exactly (values AND indices for
+    untied float scores), across padding/odd-width/k-vs-block edge cases."""
+
+    @pytest.mark.parametrize("n,k,block", [
+        (100, 10, 2048),      # small: direct path
+        (5000, 100, 2048),    # padded tail (5000 = 2*2048 + 904)
+        (4096, 7, 2048),      # exact multiple
+        (3000, 2048, 2048),   # k == block (kb clamp), k > n/2
+        (10000, 1, 512),      # k = 1
+    ])
+    def test_matches_lax_topk(self, n, k, block):
+        from vmlmf_tpu.serve.ranker import blocked_topk
+
+        scores = jax.random.normal(jax.random.PRNGKey(n + k), (6, n))
+        ov, oi = jax.lax.top_k(scores, k)
+        bv, bi = blocked_topk(scores, k, block=block)
+        np.testing.assert_allclose(np.asarray(bv), np.asarray(ov), rtol=1e-7)
+        np.testing.assert_array_equal(np.asarray(bi), np.asarray(oi))
+
+    def test_neg_inf_tail_never_wins(self):
+        from vmlmf_tpu.serve.ranker import blocked_topk
+
+        scores = jnp.full((2, 3000), -1e30)  # all tiny; padding is -inf
+        vals, idx = blocked_topk(scores, 5, block=2048)
+        assert (np.asarray(idx) < 3000).all()
