@@ -433,10 +433,12 @@ def bench_lm(chip):
             "lm_train_mfu": lm_mfu}
 
 
-def bench_ranker(n_items=100_000, t=35, b=128, k=100, iters=10):
+def bench_ranker(n_items=100_000, t=35, b=128, k=100):
     """Session-ranking serving throughput (BASELINE.json configs[4]) on one
     chip: encode a [T, B] session batch (fused scan) + score the full item
-    table + top-K, all one jitted dispatch (`SessionRanker.rank_next`).
+    table + top-K, all one jitted dispatch (`SessionRanker.rank_next`) —
+    measured for both retrieval tiers (exact `blocked_topk` and the
+    `approx_max_k` MIPS path, on-chip recall 0.9855 at this config).
     Chained through a score-derived next batch; one closing D2H read."""
     from vmlmf_tpu.serve.ranker import SessionRanker
 
@@ -444,32 +446,46 @@ def bench_ranker(n_items=100_000, t=35, b=128, k=100, iters=10):
                              w_rank=300, u_rank=300, backend="pallas")
     params = r.init(jax.random.PRNGKey(0))
 
-    @jax.jit
-    def step(params, sess, acc):
-        scores, ids = r.rank_next(params, sess, k)
-        nxt = jnp.concatenate([sess[1:], ids[:, :1].T % n_items], axis=0)
-        # strictly-increasing accumulator: greedy self-feeding converges to
-        # a fixed cycle, so a raw score value can legitimately repeat — the
-        # completion proof must be a value that moves every step
-        return nxt, acc + 1.0 + jnp.abs(scores[0, 0])
+    def make_timer(method):
+        @jax.jit
+        def step(params, sess, acc):
+            scores, ids = r.rank_next(params, sess, k, method=method)
+            nxt = jnp.concatenate([sess[1:], ids[:, :1].T % n_items], axis=0)
+            # strictly-increasing accumulator: greedy self-feeding converges
+            # to a fixed cycle, so a raw score value can legitimately repeat
+            # — the completion proof must be a value that moves every step
+            return nxt, acc + 1.0 + jnp.abs(scores[0, 0])
 
-    sess0 = jnp.asarray(np.random.RandomState(0).randint(0, n_items, (t, b)))
-    sess, acc = step(params, sess0, jnp.float32(0.0))  # compile + warm
-    rstate = {"sess": sess, "acc": acc, "a": float(acc)}
+        sess0 = jnp.asarray(
+            np.random.RandomState(0).randint(0, n_items, (t, b)))
+        sess, acc = step(params, sess0, jnp.float32(0.0))  # compile + warm
+        rstate = {"sess": sess, "acc": acc, "a": float(acc)}
 
-    def timed(iters):
-        sess, acc = rstate["sess"], rstate["acc"]
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            sess, acc = step(params, sess, acc)
-        a1 = float(acc)
-        dt = time.perf_counter() - t0
-        assert a1 > rstate["a"], "ranking chain did not execute"
-        rstate.update(sess=sess, acc=acc, a=a1)
-        return dt
+        def timed(iters):
+            sess, acc = rstate["sess"], rstate["acc"]
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                sess, acc = step(params, sess, acc)
+            a1 = float(acc)
+            dt = time.perf_counter() - t0
+            assert a1 > rstate["a"], "ranking chain did not execute"
+            rstate.update(sess=sess, acc=acc, a=a1)
+            return dt
 
-    dev, _ = fit_device_seconds(timed, counts=(8, 64), rounds=3)
-    return {"ranker_sessions_per_sec": b / dev}
+        return timed
+
+    timers = {"exact": make_timer("exact"), "approx": make_timer("approx")}
+    import statistics
+
+    res = {m: [] for m in timers}
+    for _ in range(3):  # interleaved rounds (drift-cancelling)
+        for m, timed in timers.items():
+            lo, hi = timed(4), timed(24)
+            res[m].append((hi - lo) / (24 - 4))
+    return {
+        "ranker_sessions_per_sec": b / statistics.median(res["exact"]),
+        "ranker_approx_sessions_per_sec": b / statistics.median(res["approx"]),
+    }
 
 
 def main():
@@ -497,7 +513,8 @@ def main():
         ranker = bench_ranker()
         note(f"ranker done {ranker}")
     except Exception as e:  # newest phase must not void the whole artifact
-        ranker = {"ranker_sessions_per_sec": None}
+        ranker = {"ranker_sessions_per_sec": None,
+                  "ranker_approx_sessions_per_sec": None}
         note(f"ranker phase failed: {e!r}")
 
     print(json.dumps({
@@ -522,6 +539,9 @@ def main():
             "ranker_sessions_per_sec": (
                 None if ranker["ranker_sessions_per_sec"] is None
                 else round(ranker["ranker_sessions_per_sec"], 1)),
+            "ranker_approx_sessions_per_sec": (
+                None if ranker["ranker_approx_sessions_per_sec"] is None
+                else round(ranker["ranker_approx_sessions_per_sec"], 1)),
         },
     }))
 
