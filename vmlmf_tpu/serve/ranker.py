@@ -25,7 +25,8 @@ TPU-native design:
   * **sharded top-K** — scoring h·tableᵀ materializes a ``[B, N]`` score row
     that scales with the catalog; it must never be all-gathered.  Under
     `shard_map` each ``model`` shard scores only its own ``N/S`` table rows
-    (a ``[B, N/S]`` block), takes a LOCAL ``lax.top_k(k)``, and contributes
+    (a ``[B, N/S]`` block), retrieves a LOCAL top-k (`blocked_topk` exact
+    by default, `approx_max_k` opt-in — see `_retrieve`), and contributes
     ``k`` (score, global-id) candidates; the global merge is a second
     ``top_k`` over the ``[B, S·k]`` candidate row — the only data crossing
     the ICI is ``S·k`` floats+ids per session, independent of N.
