@@ -424,6 +424,28 @@ class TestVmemBudgets:
             lstm_scan_fused(gi, u, v, jnp.zeros(4 * 32), jnp.zeros((3, 32)),
                             jnp.zeros((3, 32)), interpret=True)
 
+    def test_fits_check_lies_kernel_overflow_still_falls_back(self, monkeypatch):
+        """ADVICE r4: `fused_scan_fits` estimates padded bytes approximately;
+        if it passes but the kernel's exact tile picker refuses
+        (TileOverflowError at trace time), scan_layer must STILL fall back to
+        the XLA scan instead of surfacing the error."""
+        import vmlmf_tpu.nn.recurrence as rec
+        import vmlmf_tpu.ops.pallas_scan as ps
+
+        cell = VMLMFCell(12, 40, w_rank=4, u_rank=4)
+        params = cell.init(KEY)
+        prep = cell.prepare(params)
+        xs = jax.random.normal(jax.random.PRNGKey(1), (6, 5, 12))
+        s0 = (jnp.zeros((5, 40)), jnp.zeros((5, 40)))
+        ys_x, _ = scan_layer(cell, prep, xs, s0, backend="xla")
+        # force the pre-check optimistic while the budget is unusable
+        monkeypatch.setattr(ps, "fused_scan_fits", lambda *a, **k: True)
+        monkeypatch.setenv("VMLMF_VMEM_BYTES", str(1 << 14))
+        rec._warned_unfit.clear()
+        with pytest.warns(UserWarning, match="falling back to the XLA scan"):
+            ys_p, _ = scan_layer(cell, prep, xs, s0, backend="pallas")
+        np.testing.assert_allclose(ys_p, ys_x, atol=1e-6, rtol=1e-6)
+
     def test_stack_fits_consults_chip_budget(self, monkeypatch):
         from vmlmf_tpu.nn.recurrence import RNN
         from vmlmf_tpu.ops.pallas_pipeline import stack_fits, stack_units

@@ -106,6 +106,13 @@ def scan_layer(cell, prep, xs, state0, *, reverse=False, unroll=1, backend="xla"
     precision="bf16" runs the fused kernel's recurrent matmuls in single-pass
     bf16 with f32 accumulation (fastest MXU path); default "f32" matches the
     XLA scan bit-for-bit.  Env override: VMLMF_PALLAS_PRECISION.
+
+    Under an active `parallel.spmd.kernel_spmd(mesh)` context the fused
+    kernels run shard_map-wrapped over the mesh's data axis (each device
+    scans its local batch shard; weight grads psum automatically) — a bare
+    `pallas_call` has no SPMD partitioning rule and would otherwise be
+    resolved by replicating the batch on a real pod.  The VMEM fit check is
+    evaluated at the per-device batch.
     """
     if backend == "pallas" and _pallas_available(cell, state0):
         from vmlmf_tpu.ops.pallas_scan import (
@@ -114,6 +121,7 @@ def scan_layer(cell, prep, xs, state0, *, reverse=False, unroll=1, backend="xla"
             lstm_scan_fused,
             lstm_scan_fused_xin,
         )
+        from vmlmf_tpu.parallel.spmd import local_batch, shard_batch_kernel
 
         fri = cell.fused_rec_inputs(prep)
         if fri is not None:
@@ -124,58 +132,97 @@ def scan_layer(cell, prep, xs, state0, *, reverse=False, unroll=1, backend="xla"
             if _use_xin(cell):
                 fxi = getattr(cell, "fused_x_inputs", lambda p: None)(prep)
             if not fused_scan_fits(
-                    xs.shape[0], xs.shape[1],
+                    xs.shape[0], local_batch(xs.shape[1]),
                     4 * _round_up(cell.hidden_size, 128),
                     (u, v, dvec) + (fxi or ()), xin=fxi is not None):
                 _warn_unfit(cell, xs.shape[0], xs.shape[1])
                 fri = None  # fall through to the XLA scan below
         if fri is not None:
-            if fxi is not None:
-                src = jnp.flip(xs, axis=0) if reverse else xs
-                ys, c_last = lstm_scan_fused_xin(
-                    src, *fxi, u, v, dvec, h0, c0,
-                    interpret=_use_interpret(), precision=prec)
+            from vmlmf_tpu.ops.pallas_scan import TileOverflowError
+
+            interp = _use_interpret()
+            try:
+                if fxi is not None:
+                    src = jnp.flip(xs, axis=0) if reverse else xs
+
+                    def xin_fn(stream, *rest):
+                        return lstm_scan_fused_xin(stream, *rest,
+                                                   interpret=interp,
+                                                   precision=prec)
+
+                    ys, c_last = shard_batch_kernel(
+                        xin_fn, src, fxi + (u, v, dvec), (h0, c0), 1)
+                else:
+                    gi = cell.inp(prep, xs)  # hoisted, time-parallel
+                    if reverse:
+                        gi = jnp.flip(gi, axis=0)
+
+                    def gi_fn(stream, *rest):
+                        return lstm_scan_fused(stream, *rest,
+                                               interpret=interp,
+                                               precision=prec)
+
+                    ys, c_last = shard_batch_kernel(
+                        gi_fn, gi, (u, v, dvec), (h0, c0), 1)
+            except TileOverflowError:
+                # fused_scan_fits approximates padded bytes; at the VMEM
+                # boundary the kernel's exact picker can still refuse —
+                # honor the documented automatic XLA-scan fallback
+                _warn_unfit(cell, xs.shape[0], xs.shape[1])
             else:
-                gi = cell.inp(prep, xs)  # hoisted, time-parallel
+                h_last = ys[-1]
                 if reverse:
-                    gi = jnp.flip(gi, axis=0)
-                ys, c_last = lstm_scan_fused(gi, u, v, dvec, h0, c0,
-                                             interpret=_use_interpret(),
-                                             precision=prec)
-            h_last = ys[-1]
-            if reverse:
-                ys = jnp.flip(ys, axis=0)
-            return ys, (h_last, c_last)
+                    ys = jnp.flip(ys, axis=0)
+                return ys, (h_last, c_last)
 
     if (backend == "pallas" and hasattr(cell, "fused_rec_inputs_gru")
             and not isinstance(state0, tuple)):
         from vmlmf_tpu.ops.pallas_gru import gru_scan_fused, gru_scan_fused_xin
 
         from vmlmf_tpu.ops.pallas_scan import _round_up, fused_scan_fits
+        from vmlmf_tpu.parallel.spmd import local_batch, shard_batch_kernel
 
         uf, prz, pn, mode = cell.fused_rec_inputs_gru(prep)
         fxi = None
         if _use_xin(cell):
             fxi = getattr(cell, "fused_x_inputs_gru", lambda p: None)(prep)
         if not fused_scan_fits(
-                xs.shape[0], xs.shape[1], 3 * _round_up(cell.hidden_size, 128),
+                xs.shape[0], local_batch(xs.shape[1]),
+                3 * _round_up(cell.hidden_size, 128),
                 (uf, prz, pn) + (fxi or ()), xin=fxi is not None):
             _warn_unfit(cell, xs.shape[0], xs.shape[1])
         else:
-            if fxi is not None:
-                src = jnp.flip(xs, axis=0) if reverse else xs
-                ys = gru_scan_fused_xin(src, *fxi, uf, prz, pn, state0,
-                                        mode=mode, interpret=_use_interpret())
+            from vmlmf_tpu.ops.pallas_scan import TileOverflowError
+
+            interp = _use_interpret()
+            try:
+                if fxi is not None:
+                    src = jnp.flip(xs, axis=0) if reverse else xs
+
+                    def gxin_fn(stream, *rest):
+                        return gru_scan_fused_xin(stream, *rest, mode=mode,
+                                                  interpret=interp)
+
+                    ys = shard_batch_kernel(
+                        gxin_fn, src, fxi + (uf, prz, pn), (state0,), 0)
+                else:
+                    gi = cell.inp(prep, xs)
+                    if reverse:
+                        gi = jnp.flip(gi, axis=0)
+
+                    def ggi_fn(stream, *rest):
+                        return gru_scan_fused(stream, *rest, mode=mode,
+                                              interpret=interp)
+
+                    ys = shard_batch_kernel(
+                        ggi_fn, gi, (uf, prz, pn), (state0,), 0)
+            except TileOverflowError:
+                _warn_unfit(cell, xs.shape[0], xs.shape[1])
             else:
-                gi = cell.inp(prep, xs)
+                h_last = ys[-1]
                 if reverse:
-                    gi = jnp.flip(gi, axis=0)
-                ys = gru_scan_fused(gi, uf, prz, pn, state0, mode=mode,
-                                    interpret=_use_interpret())
-            h_last = ys[-1]
-            if reverse:
-                ys = jnp.flip(ys, axis=0)
-            return ys, h_last
+                    ys = jnp.flip(ys, axis=0)
+                return ys, h_last
 
     gi = cell.inp(prep, xs)  # [T, B, G*h] — hoisted, time-parallel
 

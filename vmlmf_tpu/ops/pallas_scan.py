@@ -178,15 +178,27 @@ def fused_scan_fits(t, b, gwidth_p, weight_arrs, *, xin):
     )
 
 
+class TileOverflowError(ValueError):
+    """No (sblk, bt) tile fits the VMEM budget for this config.
+
+    `fused_scan_fits` approximates the padded weight bytes from UNPADDED
+    shapes, while the kernels account the exact padded operands — near the
+    VMEM boundary the pre-check can pass where the kernel's own picker
+    fails.  A dedicated type lets `nn.recurrence.scan_layer` catch exactly
+    this case at trace time and honor its documented XLA-scan fallback
+    without masking unrelated ValueErrors."""
+
+
 def _require_tiles(tiles, what):
     """The tile picker found no fitting (sblk, bt): raise a clear error
     instead of compiling a proven-unfit tile (opaque Mosaic VMEM failure).
-    Unreachable via `scan_layer`, which pre-checks with `fused_scan_fits`
-    and falls back to the XLA scan; direct kernel callers get this."""
+    `scan_layer` pre-checks with `fused_scan_fits` and additionally catches
+    `TileOverflowError` (the pre-check is approximate — see the class
+    docstring); direct kernel callers get the error."""
     if tiles is None:
         from vmlmf_tpu.ops.vmem import vmem_budgets
 
-        raise ValueError(
+        raise TileOverflowError(
             f"fused-scan {what}: even the minimal (sblk=1, bt=8) tile "
             f"overflows the VMEM budget {vmem_budgets()!r}; use the XLA scan "
             "backend (nn.recurrence.scan_layer falls back automatically) or "

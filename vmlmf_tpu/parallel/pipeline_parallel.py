@@ -30,22 +30,12 @@ recurrent state traffic, revisit if profiling says otherwise.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-
-try:
-    from jax import shard_map as _shard_map  # jax >= 0.8
-
-    shard_map = functools.partial(_shard_map, check_vma=False)
-except ImportError:  # pragma: no cover — jax < 0.8
-    from jax.experimental.shard_map import shard_map as _shard_map
-
-    shard_map = functools.partial(_shard_map, check_rep=False)
 from jax.sharding import PartitionSpec as P
 
 from vmlmf_tpu.cells.base import lstm_update
+from vmlmf_tpu.parallel.compat import shard_map
 
 
 def stack_pipeline_params(cells, preps):

@@ -65,14 +65,20 @@ class HARTrainer:
             self._replicated = self._batch_sh = self._stack_sh = None
             step_kw = fused_kw = {}
 
+        from vmlmf_tpu.parallel.spmd import kernel_spmd
+
         @partial(jax.jit, donate_argnums=(0, 1), **step_kw)
         def train_step(params, opt_state, x, y):
-            def loss_fn(p):
-                return cross_entropy(self.model.apply(p, x), y)
+            # kernel_spmd: fused Pallas kernels run shard_map'ed over the
+            # data axis (local batch per device) instead of relying on XLA
+            # to partition an opaque custom call (parallel/spmd.py).
+            with kernel_spmd(self.mesh):
+                def loss_fn(p):
+                    return cross_entropy(self.model.apply(p, x), y)
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = self.opt.update(grads, opt_state)
-            return optax.apply_updates(params, updates), opt_state, loss
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = self.opt.update(grads, opt_state)
+                return optax.apply_updates(params, updates), opt_state, loss
 
         self._train_step = train_step
 
@@ -91,11 +97,19 @@ class HARTrainer:
                 updates, o = self.opt.update(grads, o)
                 return (optax.apply_updates(p, updates), o), loss
 
-            (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), (xs, ys))
+            with kernel_spmd(self.mesh):
+                (params, opt_state), losses = jax.lax.scan(
+                    body, (params, opt_state), (xs, ys))
             return params, opt_state, losses
 
         self._fused_steps = fused_steps
-        self._predict = jax.jit(lambda p, x: jnp.argmax(self.model.apply(p, x), -1))
+
+        @jax.jit
+        def predict(p, x):
+            with kernel_spmd(self.mesh):
+                return jnp.argmax(self.model.apply(p, x), -1)
+
+        self._predict = predict
 
     def init(self, dtype=jnp.float32):
         params = self.model.init(jax.random.PRNGKey(self.seed), dtype)
