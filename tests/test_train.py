@@ -362,3 +362,80 @@ class TestDeviceTimeFit:
         dev, fixed = fit_device_seconds(lambda n: next(seq), counts=(1, 2),
                                         rounds=3)
         assert dev > 0 and fixed >= 0
+
+
+class TestChipTables:
+    """v4→v7 chip peak/VMEM tables: device-kind mapping, env override, and
+    the loud unknown-chip fallback (MFU must never be silently wrong)."""
+
+    def test_device_kind_mapping(self):
+        from vmlmf_tpu.utils.analytics import detect_chip
+
+        cases = {
+            "TPU v4": "v4",
+            "TPU v5e": "v5e",
+            "TPU v5 lite": "v5e",
+            "TPU v5p": "v5p",
+            "TPU v6e": "v6e",
+            "TPU v6 lite": "v6e",
+            "Trillium": "v6e",
+            "TPU v7": "v7",
+            "Ironwood": "v7",
+        }
+        for kind, expect in cases.items():
+            assert detect_chip(kind) == expect, (kind, detect_chip(kind))
+
+    def test_every_chip_has_peaks_and_vmem(self):
+        from vmlmf_tpu.ops.vmem import VMEM_BYTES, vmem_budgets
+        from vmlmf_tpu.utils.analytics import TPU_PEAKS, chip_peaks
+
+        assert set(VMEM_BYTES) == set(TPU_PEAKS)
+        for chip, peaks in TPU_PEAKS.items():
+            assert set(peaks) == {"bf16", "f32", "hbm_bw"}
+            assert peaks["bf16"] > peaks["f32"] > 0
+            b = vmem_budgets(chip)
+            assert 0 < b["budget"] < b["limit"] <= b["compiler_limit"]
+            assert chip_peaks(chip) == peaks
+
+    def test_v6e_peaks_scale_over_v5e(self):
+        # the VERDICT's concern: v6e bf16 peak is ~4.7x v5e — an MFU computed
+        # against the v5e entry on a v6e part would overstate by that factor
+        from vmlmf_tpu.utils.analytics import TPU_PEAKS
+
+        ratio = TPU_PEAKS["v6e"]["bf16"] / TPU_PEAKS["v5e"]["bf16"]
+        assert 4.0 < ratio < 5.5
+
+    def test_unknown_tpu_kind_warns(self):
+        import warnings
+
+        from vmlmf_tpu.utils.analytics import detect_chip
+
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            chip = detect_chip("TPU v99 hypothetical")
+        assert chip == "v5e"
+        assert any("unrecognized TPU device kind" in str(r.message) for r in rec)
+
+    def test_peaks_env_override(self, monkeypatch):
+        from vmlmf_tpu.utils.analytics import chip_peaks
+
+        monkeypatch.setenv("VMLMF_TPU_PEAKS", "f32:5e13,hbm_bw:1e12")
+        p = chip_peaks("v5e")
+        assert p["f32"] == 5e13 and p["hbm_bw"] == 1e12
+        assert p["bf16"] == 197e12  # unspecified key: chip default
+        monkeypatch.setenv("VMLMF_TPU_PEAKS", "bogus:1")
+        import pytest
+
+        with pytest.raises(ValueError):
+            chip_peaks("v5e")
+
+    def test_cpu_backend_quiet_fallback(self):
+        # tests run on CPU: detection must not warn, just report v5e
+        import warnings
+
+        from vmlmf_tpu.utils.analytics import detect_chip
+
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            assert detect_chip() == "v5e"
+        assert not [r for r in rec if "unrecognized" in str(r.message)]

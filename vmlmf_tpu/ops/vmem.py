@@ -21,13 +21,17 @@ import os
 
 from vmlmf_tpu.utils.analytics import detect_chip
 
-# Physical VMEM per TensorCore.  v4 / v5e / v5p all ship 128 MiB of vector
-# memory (public TPU system-architecture docs); unknown chips fall back to
-# the conservative v5e entry.
+# Physical VMEM per TensorCore.  v4 / v5e / v5p / v6e all ship 128 MiB of
+# vector memory (public TPU system-architecture docs); Ironwood's VMEM is not
+# published — kept at the conservative 128 MiB (override with
+# VMLMF_VMEM_BYTES).  Unknown chips fall back to the v5e entry, loudly
+# (`analytics.detect_chip` warns on unrecognized TPU device kinds).
 VMEM_BYTES = {
     "v4": 128 << 20,
     "v5e": 128 << 20,
     "v5p": 128 << 20,
+    "v6e": 128 << 20,
+    "v7": 128 << 20,
 }
 
 _HEADROOM = 18 << 20         # limit = vmem - headroom (Mosaic stack, DMA slots)

@@ -101,27 +101,82 @@ def vmlmf_hw_flops(input_size, hidden_size, w_rank, u_rank, num_gates=4) -> int:
 # -- roofline --------------------------------------------------------------
 
 # Peak numbers per chip generation (compute in FLOP/s for the given matmul
-# dtype, HBM bandwidth in bytes/s).  Sources: public TPU spec sheets.
+# dtype, HBM bandwidth in bytes/s).  Sources: public TPU spec sheets; f32 is
+# the multi-pass bf16 MXU rate (~peak/4 on every generation that documents
+# it).  Override for unlisted parts: VMLMF_TPU_PEAKS="bf16:2e14,f32:5e13,
+# hbm_bw:8e11" (any subset; unspecified keys fall back to the detected chip).
 TPU_PEAKS = {
     "v5e": {"bf16": 197e12, "f32": 49e12, "hbm_bw": 819e9},
     "v4": {"bf16": 275e12, "f32": 69e12, "hbm_bw": 1228e9},
     "v5p": {"bf16": 459e12, "f32": 115e12, "hbm_bw": 2765e9},
+    # Trillium (public: 918 bf16 TFLOP/s, 1.64 TB/s HBM)
+    "v6e": {"bf16": 918e12, "f32": 230e12, "hbm_bw": 1640e9},
+    # Ironwood (public: 4614 fp8 TFLOP/s -> ~2307 bf16, 7.37 TB/s HBM)
+    "v7": {"bf16": 2307e12, "f32": 577e12, "hbm_bw": 7370e9},
 }
 
+_warned_unknown_chip: set = set()
 
-def detect_chip():
-    """Best-effort chip generation key into `TPU_PEAKS` (and the VMEM table,
-    `ops.vmem`).  Unknown/non-TPU backends report the conservative v5e."""
-    try:
-        kind = jax.devices()[0].device_kind.lower()
-    except Exception:
-        return "v5e"
-    for key in ("v5p", "v5e", "v4"):
-        if key in kind or key.replace("v5", "v5 ") in kind:
+
+def _warn_unknown_chip(kind):
+    """MFU/roofline numbers must never be silently wrong on new hardware —
+    an unrecognized device kind logs loudly before the v5e fallback."""
+    import warnings
+
+    if kind not in _warned_unknown_chip:
+        _warned_unknown_chip.add(kind)
+        warnings.warn(
+            f"unrecognized TPU device kind {kind!r}: falling back to v5e "
+            "peaks/VMEM — MFU, roofline fractions, and kernel tile budgets "
+            "may be wrong.  Set VMLMF_TPU_PEAKS / VMLMF_VMEM_BYTES for this "
+            "part (utils/analytics.py TPU_PEAKS has the format).",
+            stacklevel=3)
+
+
+def detect_chip(kind=None):
+    """Chip generation key into `TPU_PEAKS` (and the VMEM table, `ops.vmem`).
+    Non-TPU backends report the conservative v5e quietly; a TPU whose device
+    kind matches no table entry warns loudly first (see `_warn_unknown_chip`).
+    ``kind`` overrides the probed `device_kind` (for tests)."""
+    if kind is None:
+        try:
+            dev = jax.devices()[0]
+            if dev.platform != "tpu":
+                return "v5e"
+            kind = dev.device_kind
+        except Exception:
+            return "v5e"
+    kind = kind.lower()
+    for key in ("v5p", "v5e", "v6e", "v7", "v4"):
+        # device kinds appear both fused ("tpu v5e") and spaced ("tpu v5 p")
+        if key in kind or f"{key[:2]} {key[2:]}".strip() == kind.removeprefix("tpu ").strip():
             return key
     if "v5 lite" in kind or "v5lite" in kind:
         return "v5e"
+    if "v6 lite" in kind or "v6lite" in kind or "trillium" in kind or "v6" in kind:
+        return "v6e"
+    if "ironwood" in kind:
+        return "v7"
+    _warn_unknown_chip(kind)
     return "v5e"
+
+
+def chip_peaks(chip=None):
+    """-> {bf16, f32, hbm_bw} for ``chip`` (default: detected), with any
+    VMLMF_TPU_PEAKS="key:value,..." env overrides applied on top."""
+    import os
+
+    peaks = dict(TPU_PEAKS[chip or detect_chip()])
+    env = os.environ.get("VMLMF_TPU_PEAKS")
+    if env:
+        for item in env.split(","):
+            k, _, val = item.partition(":")
+            k = k.strip()
+            if k not in ("bf16", "f32", "hbm_bw"):
+                raise ValueError(
+                    f"VMLMF_TPU_PEAKS key {k!r} not in (bf16, f32, hbm_bw)")
+            peaks[k] = float(val)
+    return peaks
 
 
 def roofline_report(flops, hbm_bytes, seconds, *, chip="v5e", dtype="f32") -> dict:
@@ -133,7 +188,7 @@ def roofline_report(flops, hbm_bytes, seconds, *, chip="v5e", dtype="f32") -> di
     Returns achieved FLOP/s and bandwidth, arithmetic intensity, the
     roofline-permitted time, and which resource bounds the region.
     """
-    peaks = TPU_PEAKS[chip]
+    peaks = chip_peaks(chip)
     peak_flops, peak_bw = peaks[dtype], peaks["hbm_bw"]
     intensity = flops / max(hbm_bytes, 1)
     ridge = peak_flops / peak_bw
