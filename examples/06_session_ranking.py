@@ -59,9 +59,16 @@ _, ids_approx = jax.jit(lambda p, s: ranker.rank_next(
     p, s, K, mesh=mesh, method="approx", recall_target=0.95))(params, session)
 print("approx top-K (recall>=0.95):", np.asarray(ids_approx)[0])
 
-# the sharded retrieval equals the single-device oracle
+# the sharded retrieval equals the single-device oracle.  Scores must agree
+# exactly; ids are compared as sets per row because exactly-tied scores may
+# legitimately order differently between the blocked top-k and the
+# cross-shard merge (see the ranker docstring's tie caveat).
 oracle_scores, oracle_ids = ranker.rank_next(
     jax.device_put(jax.tree.map(np.asarray, params)), session, K,
     exclude_seen=True)
-assert np.array_equal(np.asarray(ids), np.asarray(oracle_ids))
+np.testing.assert_allclose(np.asarray(scores), np.asarray(oracle_scores),
+                           rtol=1e-6, atol=1e-6)
+for row, orow in zip(np.asarray(ids), np.asarray(oracle_ids)):
+    assert set(row) == set(orow) or np.array_equal(
+        np.sort(row), np.sort(orow)), (row, orow)
 print("sharded top-K == unsharded oracle ✓")
