@@ -219,6 +219,16 @@ class LMModel:
 
     def apply(self, params, ids, states, *, rng=None, train=False):
         """ids: [T, B] int32 -> (logits [T, B, V], new_states)."""
+        x, new_states = self.apply_hidden(params, ids, states, rng=rng,
+                                          train=train)
+        return self._logits(params, x), new_states
+
+    def apply_hidden(self, params, ids, states, *, rng=None, train=False):
+        """`apply` minus the head: -> (hidden sequence [T, B, H], new_states).
+
+        The entry point for heads that must not materialize the [T·B, V]
+        logits block — e.g. sampled-softmax training over huge item catalogs
+        (`serve.ranker.SessionRanker.sampled_loss`)."""
         det = not train
         n_drops = 1 + self.num_layers
         keys = jax.random.split(rng, n_drops) if rng is not None else [None] * n_drops
@@ -249,7 +259,7 @@ class LMModel:
                 interpret=_use_interpret(), precision=prec)
             kl = keys[-1]
             ys = dropout(kl, ys, self.dropout_rate, det or kl is None)
-            return self._logits(params, ys), new_states
+            return ys, new_states
         if self.backend == "pipelined":
             from vmlmf_tpu.ops.pipeline import (
                 pipelined_available,
@@ -269,7 +279,7 @@ class LMModel:
                     dropout_rate=self.dropout_rate, rng=drop_rng)
                 kl = keys[-1]
                 x = dropout(kl, x, self.dropout_rate, det or kl is None)
-                return self._logits(params, x), new_states
+                return x, new_states
         new_states = []
         for i, (cell, p) in enumerate(zip(self.rnn.cells, params["rnn"])):
             prep = cell.prepare(p)
@@ -277,4 +287,4 @@ class LMModel:
             new_states.append(sf)
             ki = keys[1 + i]
             x = dropout(ki, x, self.dropout_rate, det or ki is None)
-        return self._logits(params, x), new_states
+        return x, new_states

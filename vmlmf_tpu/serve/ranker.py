@@ -48,8 +48,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax import shard_map
 from jax.sharding import PartitionSpec as P
+
+from vmlmf_tpu.parallel.compat import shard_map
 
 from vmlmf_tpu.nn.models import LMModel
 
@@ -307,7 +308,8 @@ class SessionRanker:
                                               rng=rng, train=train)
         return lm_loss(logits, targets), new_states
 
-    def sampled_softmax_loss(self, params, hs, targets, key, num_samples):
+    def sampled_softmax_loss(self, params, hs, targets, key, num_samples,
+                             *, in_batch=False):
         """Sampled-softmax CE for catalogs too large for full [T·B, N]
         logits: uniform negatives shared across the batch, logQ-corrected
         (each negative's logit gets −log(S/N) so the sampled softmax is an
@@ -315,6 +317,17 @@ class SessionRanker:
 
         hs: [M, H] hidden states (e.g. flattened [T·B, H]); targets: [M]
         item ids; num_samples: static negative count.  -> scalar mean loss.
+
+        ``in_batch=True`` additionally uses the batch's OWN target columns
+        as negatives (the two-tower-recommender standard): uniform negatives
+        from a huge catalog almost never hit the actively-traded items, so
+        their contrastive signal is weak; in-batch columns contrast
+        co-occurring items directly.  Duplicate targets are masked so an
+        item never serves as its own negative.  In-batch columns get no
+        logQ correction (their sampling law is the data distribution;
+        production systems estimate item frequencies — the uniform
+        correction would be wrong, and the uncorrected form is the standard
+        popularity-biased trade).
         """
         w, bias = self._head(params)                  # [H, N], [N]
         n = self.num_items
@@ -326,14 +339,52 @@ class SessionRanker:
         # mask accidental hits (a sampled negative equal to the target)
         hit = neg[None, :] == targets[:, None]
         neg_logit = jnp.where(hit, _neg_inf(neg_logit.dtype), neg_logit)
-        all_logits = jnp.concatenate([pos_logit[:, None], neg_logit], axis=1)
+        all_logits = [pos_logit[:, None], neg_logit]
+        if in_batch:
+            ib = jnp.einsum("mh,hk->mk", hs, w[:, targets]) + bias[targets]
+            dup = targets[None, :] == targets[:, None]  # incl. the diagonal:
+            ib = jnp.where(dup, _neg_inf(ib.dtype), ib)  # pos column is first
+            all_logits.append(ib)
+        all_logits = jnp.concatenate(all_logits, axis=1)
         return -jax.nn.log_softmax(all_logits)[:, 0].mean()
 
-    def trainer(self, *, batch_size=20, seq_length=35, mesh=None, **kw):
-        """An `LMTrainer` over this ranker's model (full-CE objective,
-        manual SGD + clip — `train.lm`); pass ``mesh`` to train with the
-        row-sharded table layout."""
+    def sampled_loss(self, params, ids, targets, states, rng, num_samples,
+                     *, in_batch=False):
+        """Sampled-softmax next-item loss over a [T, B] chunk — the scalable
+        counterpart of `loss` for catalogs where the full [T·B, N] logits
+        block must never materialize.
+
+        Runs the encoder via `model.apply_hidden` (no head), flattens the
+        hidden sequence to [T·B, H], and applies `sampled_softmax_loss` with
+        fresh uniform negatives per chunk.  Scaled ×batch to match the
+        Zaremba `lm_loss` convention, so LMTrainer hyperparameters (lr,
+        clip) transfer between the objectives.  -> (loss, new_states)."""
+        kd, kn = jax.random.split(rng)
+        hs, new_states = self.model.apply_hidden(params, ids, states,
+                                                 rng=kd, train=True)
+        t, b = targets.shape
+        loss = self.sampled_softmax_loss(
+            params, hs.reshape(t * b, -1), targets.reshape(-1), kn,
+            num_samples, in_batch=in_batch)
+        return loss * b, new_states
+
+    def trainer(self, *, batch_size=20, seq_length=35, mesh=None,
+                sampled_softmax=None, in_batch_negatives=False, **kw):
+        """An `LMTrainer` over this ranker's model (manual SGD + clip —
+        `train.lm`); pass ``mesh`` to train with the row-sharded table
+        layout.
+
+        ``sampled_softmax=<num_negatives>`` switches the TRAINING objective
+        from full CE to `sampled_loss` (per-chunk uniform negatives with the
+        logQ correction) — the per-step head cost drops from O(T·B·N) to
+        O(T·B·S), which at catalog scale is the difference between training
+        being possible and not.  Eval/perplexity stays full-CE."""
         from vmlmf_tpu.train.lm import LMTrainer
 
+        if sampled_softmax is not None:
+            kw["loss_fn"] = (
+                lambda p, x, y, states, rng:
+                self.sampled_loss(p, x, y, states, rng, sampled_softmax,
+                                  in_batch=in_batch_negatives))
         return LMTrainer(self.model, batch_size=batch_size,
                          seq_length=seq_length, mesh=mesh, **kw)

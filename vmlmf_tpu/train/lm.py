@@ -67,14 +67,35 @@ class LMTrainer:
     # "model" axis, token batches over "data", recurrent towers replicated —
     # the sharding layout of `parallel.sharding.lm_param_sharding`.
     mesh: object = None
+    # Optional training-loss override with signature
+    #   (params, x, y, states, rng) -> (loss, new_states)
+    # replacing the default full-CE `model.apply` + `lm_loss`.  Used by the
+    # ranking workload for sampled-softmax training over catalogs where the
+    # [T·B, N] logits block must never materialize
+    # (`serve.ranker.SessionRanker.trainer(sampled_softmax=...)`).  Eval
+    # (`perplexity`) stays full-CE — the truthful once-per-epoch metric.
+    loss_fn: object = None
 
     def __post_init__(self):
-        def sgd_chunk(params, states, x, y, lr, rng):
-            def loss_fn(p):
-                logits, new_states = self.model.apply(p, x, states, rng=rng, train=True)
-                return lm_loss(logits, y), new_states
+        from vmlmf_tpu.parallel.spmd import kernel_spmd
 
-            (loss, new_states), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        def default_loss(params, x, y, states, rng):
+            logits, new_states = self.model.apply(
+                params, x, states, rng=rng, train=True)
+            return lm_loss(logits, y), new_states
+
+        train_loss = self.loss_fn or default_loss
+
+        def sgd_chunk(params, states, x, y, lr, rng):
+            # kernel_spmd: route fused Pallas kernels through shard_map over
+            # the data axis (parallel/spmd.py) — the vocab-sharded head stays
+            # outside, partitioned by XLA from its annotations.
+            with kernel_spmd(self.mesh):
+                def loss_fn(p):
+                    return train_loss(p, x, y, states, rng)
+
+                (loss, new_states), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
             grads, gnorm = clip_by_global_norm(grads, self.max_grad_norm)
             params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
             return params, new_states, loss, gnorm
@@ -121,8 +142,10 @@ class LMTrainer:
 
         @jax.jit
         def eval_step(params, states, x, y):
-            logits, new_states = self.model.apply(params, x, states, train=False)
-            return lm_loss(logits, y), new_states
+            with kernel_spmd(self.mesh):
+                logits, new_states = self.model.apply(
+                    params, x, states, train=False)
+                return lm_loss(logits, y), new_states
 
         self._eval_step = eval_step
 
