@@ -34,7 +34,12 @@ regressions are visible in BENCH_r*.json:
     `compression_cal.py:72-135`; HBM bytes from the documented estimate below),
   * lm_train_wps / lm_infer_wps — the PTB flagship (2x650 VMLMF w300/u300,
     B20/T35) fused-chunk training and no-grad inference words/sec,
-  * lm_train_mfu — achieved fraction of f32 MXU peak for the LM train step.
+  * lm_train_mfu — achieved fraction of f32 MXU peak for the LM train step,
+  * lm_train_wps_b128 / lm_train_mfu_b128 — the recommended B=128 throughput
+    profile (BASELINE.md LM-vs-batch row), tracked so it cannot rot,
+  * ranker_* — session-ranking serving throughput for both retrieval tiers
+    plus the measured approx recall vs the exact ranking (the speed/recall
+    trade is regression-guarded together).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
@@ -132,7 +137,7 @@ def bench_har():
     from vmlmf_tpu.nn.models import HARNet
     from vmlmf_tpu.train.har import HARTrainer
     from vmlmf_tpu.utils.analytics import (
-        TPU_PEAKS,
+        chip_peaks,
         count_params,
         roofline_report,
         vmlmf_hw_flops,
@@ -190,7 +195,7 @@ def bench_har():
     hbm = har_train_hbm_bytes(batch, t, feats, 180, 6, n_params)
     chip = detect_chip()
     roof = roofline_report(train_flops, hbm, sec_per_batch, chip=chip, dtype="f32")
-    mfu = roof["achieved_flops_per_s"] / TPU_PEAKS[chip]["f32"]
+    mfu = roof["achieved_flops_per_s"] / chip_peaks(chip)["f32"]
 
     # baseline path: unhoisted math, per-batch host dispatch (fresh params —
     # the production path donated its buffers).  Same two-count device fit
@@ -316,7 +321,11 @@ def bench_har_variants(rounds=4):
             samples[k][32].append(timed(32))
     out = {}
     for k, s in samples.items():
-        dev = (statistics.median(s[32]) - statistics.median(s[4])) / (32 - 4)
+        # same positive-floor clamp as fit_device_seconds: a negative delta
+        # (runtime drift exceeding the device time) must not write a
+        # negative/infinite throughput into the BENCH artifact
+        dev = max((statistics.median(s[32]) - statistics.median(s[4]))
+                  / (32 - 4), 1e-12)
         out[k] = batch * fuse / dev
     return out
 
@@ -354,7 +363,8 @@ def bench_har_latency_fit(rounds=3):
             secs[t][32].append(timed(32))
 
     def dev_us(s):  # device µs per batch-step, relay solved out
-        dev = (statistics.median(s[32]) - statistics.median(s[4])) / (32 - 4)
+        dev = max((statistics.median(s[32]) - statistics.median(s[4]))
+                  / (32 - 4), 1e-12)  # positive floor, as fit_device_seconds
         return dev / 64 * 1e6
 
     u8, u24 = dev_us(secs[8]), dev_us(secs[24])
@@ -372,7 +382,7 @@ def bench_lm(chip):
     from vmlmf_tpu.cells import VMLMFCell
     from vmlmf_tpu.nn.models import LMModel
     from vmlmf_tpu.train.lm import LMTrainer
-    from vmlmf_tpu.utils.analytics import TPU_PEAKS, vmlmf_hw_flops
+    from vmlmf_tpu.utils.analytics import chip_peaks, vmlmf_hw_flops
 
     vocab, hidden, t, b, fuse = 10000, 650, 35, 20, 64
     model = LMModel(vocab_size=vocab, hidden_size=hidden, num_layers=2,
@@ -409,7 +419,7 @@ def bench_lm(chip):
     cell_fwd = vmlmf_hw_flops(hidden, hidden, 300, 300)
     head_fwd = 2 * hidden * vocab
     train_flops_per_word = 3 * (2 * cell_fwd + head_fwd)
-    lm_mfu = train_wps * train_flops_per_word / TPU_PEAKS[chip]["f32"]
+    lm_mfu = train_wps * train_flops_per_word / chip_peaks(chip)["f32"]
 
     # inference: fused no-grad eval — one dispatch per 64-chunk stack,
     # state carried on device (the serving-style batch-eval path)
@@ -429,8 +439,40 @@ def bench_lm(chip):
     edev, _ = fit_device_seconds(timed_eval, counts=(1, 5), rounds=3)
     infer_wps = fuse * t * b / edev
 
+    # recommended throughput profile: B=128 (BASELINE.md LM-vs-batch row:
+    # serving-style deployments should batch to ~128/chip — 1.26x the B=20
+    # protocol config).  Machine-checked here so the recommendation cannot
+    # silently rot; MFU against the same hw-FLOP model.
+    b2, fuse2 = 128, 16
+    tr2 = LMTrainer(model, batch_size=b2, seq_length=t, fuse_chunks=fuse2)
+    p2 = tr2.init()
+    s2 = tr2.state0()
+    xs2 = jnp.asarray(np.random.RandomState(2).randint(0, vocab, (fuse2, t, b2)))
+    ys2 = jnp.asarray(np.random.RandomState(3).randint(0, vocab, (fuse2, t, b2)))
+    p2, s2, losses2, _ = tr2._fused_chunks(p2, s2, xs2, ys2, jnp.float32(1.0),
+                                           jax.random.PRNGKey(0))
+    bstate = {"p": p2, "s": s2, "l": float(losses2[-1]), "i": 0}
+
+    def timed_b128(iters):
+        p2, s2 = bstate["p"], bstate["s"]
+        t0 = time.perf_counter()
+        for i in range(iters):
+            p2, s2, losses2, _ = tr2._fused_chunks(
+                p2, s2, xs2, ys2, jnp.float32(1.0),
+                jax.random.PRNGKey(bstate["i"] + i))
+        l1 = float(losses2[-1])
+        dt = time.perf_counter() - t0
+        assert l1 != bstate["l"], "B=128 LM training chain did not execute"
+        bstate.update(p=p2, s=s2, l=l1, i=bstate["i"] + iters)
+        return dt
+
+    bdev, _ = fit_device_seconds(timed_b128, counts=(1, 5), rounds=3)
+    b128_wps = fuse2 * t * b2 / bdev
+    b128_mfu = b128_wps * train_flops_per_word / chip_peaks(chip)["f32"]
+
     return {"lm_train_wps": train_wps, "lm_infer_wps": infer_wps,
-            "lm_train_mfu": lm_mfu}
+            "lm_train_mfu": lm_mfu, "lm_train_wps_b128": b128_wps,
+            "lm_train_mfu_b128": b128_mfu}
 
 
 def bench_ranker(n_items=100_000, t=35, b=128, k=100):
@@ -482,9 +524,62 @@ def bench_ranker(n_items=100_000, t=35, b=128, k=100):
         for m, timed in timers.items():
             lo, hi = timed(4), timed(24)
             res[m].append((hi - lo) / (24 - 4))
+
+    # measured recall of the approx tier vs the exact ranking at this very
+    # config — regression-guarded next to its speed, so a knob drift that
+    # trades recall for throughput cannot read as a pure win
+    # training throughput at the same catalog scale: sampled-softmax SGD
+    # (the full-CE [T*B, 100k] logits block is exactly what the sampled
+    # path exists to avoid), in-batch negatives, fused chunks — the other
+    # half of the north-star ranking workload
+    tr = r.trainer(batch_size=b, seq_length=t, fuse_chunks=8,
+                   sampled_softmax=8192, in_batch_negatives=True)
+    tp = tr.init()
+    ts = tr.state0()
+    fuse = 8
+    txs = jnp.asarray(
+        np.random.RandomState(4).randint(0, n_items, (fuse, t, b)))
+    tys = jnp.asarray(
+        np.random.RandomState(5).randint(0, n_items, (fuse, t, b)))
+    tp, ts, tlosses, _ = tr._fused_chunks(tp, ts, txs, tys, jnp.float32(0.1),
+                                          jax.random.PRNGKey(0))
+    tstate = {"p": tp, "s": ts, "l": float(tlosses[-1]), "i": 0}
+
+    def timed_train(iters):
+        tp, ts = tstate["p"], tstate["s"]
+        t0 = time.perf_counter()
+        for i in range(iters):
+            tp, ts, tlosses, _ = tr._fused_chunks(
+                tp, ts, txs, tys, jnp.float32(0.1),
+                jax.random.PRNGKey(tstate["i"] + i))
+        l1 = float(tlosses[-1])
+        dt = time.perf_counter() - t0
+        assert l1 != tstate["l"], "ranker training chain did not execute"
+        tstate.update(p=tp, s=ts, l=l1, i=tstate["i"] + iters)
+        return dt
+
+    tdev, _ = fit_device_seconds(timed_train, counts=(1, 5), rounds=3)
+    train_sessions_per_sec = fuse * b / tdev
+
+    sess = jnp.asarray(np.random.RandomState(7).randint(0, n_items, (t, b)))
+    _, ids_exact = jax.jit(
+        lambda p, s: r.rank_next(p, s, k, method="exact"))(params, sess)
+    _, ids_approx = jax.jit(
+        lambda p, s: r.rank_next(p, s, k, method="approx",
+                                 recall_target=0.95))(params, sess)
+    ex, ap = np.asarray(ids_exact), np.asarray(ids_approx)
+    recall = float(np.mean([
+        len(np.intersect1d(ex[i], ap[i])) / k for i in range(b)]))
+
+    # positive floor as in fit_device_seconds: drift must not produce a
+    # negative/infinite sessions/sec in the artifact
     return {
-        "ranker_sessions_per_sec": b / statistics.median(res["exact"]),
-        "ranker_approx_sessions_per_sec": b / statistics.median(res["approx"]),
+        "ranker_sessions_per_sec":
+            b / max(statistics.median(res["exact"]), 1e-12),
+        "ranker_approx_sessions_per_sec":
+            b / max(statistics.median(res["approx"]), 1e-12),
+        "ranker_approx_recall": recall,
+        "ranker_train_sessions_per_sec": train_sessions_per_sec,
     }
 
 
@@ -508,13 +603,16 @@ def main():
     latency = bench_har_latency_fit()
     note(f"latency fit done {latency}")
     lm = bench_lm(har["chip"])
-    note(f"lm done {lm['lm_train_wps']:.0f} wps")
+    note(f"lm done {lm['lm_train_wps']:.0f} wps "
+         f"(B=128 profile {lm['lm_train_wps_b128']:.0f})")
     try:
         ranker = bench_ranker()
         note(f"ranker done {ranker}")
     except Exception as e:  # newest phase must not void the whole artifact
         ranker = {"ranker_sessions_per_sec": None,
-                  "ranker_approx_sessions_per_sec": None}
+                  "ranker_approx_sessions_per_sec": None,
+                  "ranker_approx_recall": None,
+                  "ranker_train_sessions_per_sec": None}
         note(f"ranker phase failed: {e!r}")
 
     print(json.dumps({
@@ -536,12 +634,20 @@ def main():
             "lm_train_wps": round(lm["lm_train_wps"], 1),
             "lm_infer_wps": round(lm["lm_infer_wps"], 1),
             "lm_train_mfu": round(lm["lm_train_mfu"], 5),
+            "lm_train_wps_b128": round(lm["lm_train_wps_b128"], 1),
+            "lm_train_mfu_b128": round(lm["lm_train_mfu_b128"], 5),
             "ranker_sessions_per_sec": (
                 None if ranker["ranker_sessions_per_sec"] is None
                 else round(ranker["ranker_sessions_per_sec"], 1)),
             "ranker_approx_sessions_per_sec": (
                 None if ranker["ranker_approx_sessions_per_sec"] is None
                 else round(ranker["ranker_approx_sessions_per_sec"], 1)),
+            "ranker_approx_recall": (
+                None if ranker.get("ranker_approx_recall") is None
+                else round(ranker["ranker_approx_recall"], 4)),
+            "ranker_train_sessions_per_sec": (
+                None if ranker.get("ranker_train_sessions_per_sec") is None
+                else round(ranker["ranker_train_sessions_per_sec"], 1)),
         },
     }))
 
