@@ -42,6 +42,19 @@ for step in range(5):
         params, states, xb, yb, jnp.float32(1.0), jax.random.PRNGKey(step))
     print(f"step {step}: next-item CE {float(loss) / BATCH:.3f}")
 
+# catalog too big for full-CE?  sampled softmax caps the head cost at
+# O(T*B*S) (uniform negatives, logQ-corrected) and in-batch negatives keep
+# the contrastive signal on actively-traded items — same trainer surface:
+strainer = ranker.trainer(batch_size=BATCH, seq_length=T, mesh=mesh,
+                          fuse_chunks=1, learning_rate=1.0,
+                          sampled_softmax=128, in_batch_negatives=True)
+sparams, sstates = strainer.init(), strainer.state0()
+sess = rng.randint(0, N_ITEMS, (T, BATCH))
+xb, yb = strainer.commit_batch(sess, np.roll(sess, -1, axis=0))
+sparams, sstates, sloss, _ = strainer._train_step(
+    sparams, sstates, xb, yb, jnp.float32(1.0), jax.random.PRNGKey(99))
+print(f"sampled-softmax (S=128) CE {float(sloss) / BATCH:.3f}")
+
 # ---- serving: encode the session, retrieve top-K -------------------------
 session = jnp.asarray(rng.randint(0, N_ITEMS, (T, BATCH)))
 if mesh is not None:

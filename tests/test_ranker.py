@@ -454,3 +454,33 @@ class TestSampledSoftmaxSharded:
         m = r.eval_metrics(params, sessions, targets, ks=(1, 10))
         assert m["recall@10"] > 0.15, m       # measured 0.297
         assert m["recall@10"] > 1000 * (10 / n), m  # >=1000x chance
+
+
+class TestPallasRankerOnMesh:
+    def test_rank_next_pallas_backend_sharded_matches_xla(self):
+        """Serving composition: a pallas-backend ranker under the mesh —
+        `rank_next(mesh=...)` runs the encoder inside kernel_spmd (the fused
+        scan shard_maps over 'data') and must match the xla-backend sharded
+        result and the unsharded pallas result."""
+        def build(backend):
+            return SessionRanker.create(
+                128, hidden_size=16, num_layers=1, w_rank=4, u_rank=4,
+                backend=backend)
+
+        rp, rx = build("pallas"), build("xla")
+        params = rp.init(KEY)  # same init: model config identical
+        mesh = make_mesh(data=2, model=4)
+        p_sh = jax.device_put(params, lm_param_sharding(params, mesh))
+        sess = jax.random.randint(jax.random.PRNGKey(1), (6, 8), 0, 128)
+
+        s_pm, i_pm = jax.jit(
+            lambda p, s: rp.rank_next(p, s, 5, mesh=mesh))(p_sh, sess)
+        s_xm, i_xm = jax.jit(
+            lambda p, s: rx.rank_next(p, s, 5, mesh=mesh))(p_sh, sess)
+        s_p1, i_p1 = rp.rank_next(params, sess, 5)
+        np.testing.assert_allclose(np.asarray(s_pm), np.asarray(s_xm),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(s_pm), np.asarray(s_p1),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i_pm), np.asarray(i_xm))
+        np.testing.assert_array_equal(np.asarray(i_pm), np.asarray(i_p1))

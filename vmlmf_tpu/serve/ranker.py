@@ -260,8 +260,15 @@ class SessionRanker:
     def rank_next(self, params, session_ids, k, *, mesh=None,
                   exclude_seen=False, method="exact", recall_target=0.95):
         """End-to-end: encode the session prefix [T, B], return the top-K
-        next items.  -> (scores [B, k], item ids [B, k])."""
-        h, _ = self.encode(params, session_ids)
+        next items.  -> (scores [B, k], item ids [B, k]).
+
+        Under a mesh the encoder runs inside `kernel_spmd` so a
+        pallas-backend model's fused scan shard_maps over the data axis
+        (`parallel/spmd.py`) instead of replicating the batch."""
+        from vmlmf_tpu.parallel.spmd import kernel_spmd
+
+        with kernel_spmd(mesh):
+            h, _ = self.encode(params, session_ids)
         exclude = session_ids if exclude_seen else None
         if mesh is not None and mesh.shape["model"] > 1:
             return self.topk_sharded(params, h, k, mesh, exclude=exclude,
