@@ -34,7 +34,9 @@ regressions are visible in BENCH_r*.json:
     `compression_cal.py:72-135`; HBM bytes from the documented estimate below),
   * lm_train_wps / lm_infer_wps — the PTB flagship (2x650 VMLMF w300/u300,
     B20/T35) fused-chunk training and no-grad inference words/sec,
-  * lm_train_mfu — achieved fraction of f32 MXU peak for the LM train step,
+  * lm_train_mfu — achieved fraction of the bf16 MXU peak for the LM train
+    step (the rate TPU matmuls actually run at under JAX's default
+    precision; redefined from the f32 peak in round 5 — docs/latency.md),
   * lm_train_wps_b128 / lm_train_mfu_b128 — the recommended B=128 throughput
     profile (BASELINE.md LM-vs-batch row), tracked so it cannot rot,
   * ranker_* — session-ranking serving throughput for both retrieval tiers
@@ -195,7 +197,13 @@ def bench_har():
     hbm = har_train_hbm_bytes(batch, t, feats, 180, 6, n_params)
     chip = detect_chip()
     roof = roofline_report(train_flops, hbm, sec_per_batch, chip=chip, dtype="f32")
-    mfu = roof["achieved_flops_per_s"] / chip_peaks(chip)["f32"]
+    # MFU denominator: the bf16 MXU peak — the rate the chip actually runs
+    # matmuls at (JAX's default TPU matmul precision executes f32 matmuls
+    # as single-pass bf16 with f32 accumulation; measured fwd-head 62 TF/s
+    # on v5e, above the 49 TF multi-pass 'f32 peak' — docs/latency.md r5).
+    # Rounds <= 4 used the f32 peak: multiply old values by 49/197 (v5e)
+    # to compare.
+    mfu = roof["achieved_flops_per_s"] / chip_peaks(chip)["bf16"]
 
     # baseline path: unhoisted math, per-batch host dispatch (fresh params —
     # the production path donated its buffers).  Same two-count device fit
@@ -419,7 +427,8 @@ def bench_lm(chip):
     cell_fwd = vmlmf_hw_flops(hidden, hidden, 300, 300)
     head_fwd = 2 * hidden * vocab
     train_flops_per_word = 3 * (2 * cell_fwd + head_fwd)
-    lm_mfu = train_wps * train_flops_per_word / chip_peaks(chip)["f32"]
+    # bf16-peak denominator (see bench_har's MFU note / docs/latency.md r5)
+    lm_mfu = train_wps * train_flops_per_word / chip_peaks(chip)["bf16"]
 
     # inference: fused no-grad eval — one dispatch per 64-chunk stack,
     # state carried on device (the serving-style batch-eval path)
@@ -468,7 +477,7 @@ def bench_lm(chip):
 
     bdev, _ = fit_device_seconds(timed_b128, counts=(1, 5), rounds=3)
     b128_wps = fuse2 * t * b2 / bdev
-    b128_mfu = b128_wps * train_flops_per_word / chip_peaks(chip)["f32"]
+    b128_mfu = b128_wps * train_flops_per_word / chip_peaks(chip)["bf16"]
 
     return {"lm_train_wps": train_wps, "lm_infer_wps": infer_wps,
             "lm_train_mfu": lm_mfu, "lm_train_wps_b128": b128_wps,

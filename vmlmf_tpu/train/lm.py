@@ -30,11 +30,21 @@ import numpy as np
 
 
 def lm_loss(logits, y):
-    """Zaremba convention: mean over (T*B) of nll, times batch size."""
+    """Zaremba convention: mean over (T*B) of nll, times batch size.
+
+    Computed as logsumexp − target-logit instead of materializing
+    log_softmax: at [T, B, V] scale the log_softmax output is a V-wide HBM
+    tensor (179 MB at the B=128 profile) whose write, layout copies, and
+    gather-transpose (XLA lowers the fancy-index backward to a full
+    [T·B, V] broadcast + reshape + reduce) dominated the head's cost.
+    The lse form is numerically identical (same stable max-subtraction;
+    grads agree to ~1e-9) and measured **1.56x end-to-end at B=128**
+    (490.9k -> 763.7k wps) and +10% at the B=20 protocol config
+    (docs/latency.md has the trace that located the waste)."""
     t, b = y.shape
-    logp = jax.nn.log_softmax(logits.reshape(t * b, -1))
-    nll = -logp[jnp.arange(t * b), y.reshape(-1)]
-    return nll.mean() * b
+    lse = jax.nn.logsumexp(logits, axis=-1)                       # [T, B]
+    tgt = jnp.take_along_axis(logits, y[..., None], axis=-1)[..., 0]
+    return (lse - tgt).mean() * b
 
 
 def clip_by_global_norm(grads, max_norm):
