@@ -539,10 +539,12 @@ def bench_ranker(n_items=100_000, t=35, b=128, k=100):
     # trades recall for throughput cannot read as a pure win
     # training throughput at the same catalog scale: sampled-softmax SGD
     # (the full-CE [T*B, 100k] logits block is exactly what the sampled
-    # path exists to avoid), in-batch negatives, fused chunks — the other
-    # half of the north-star ranking workload
-    tr = r.trainer(batch_size=b, seq_length=t, fuse_chunks=8,
-                   sampled_softmax=8192, in_batch_negatives=True)
+    # path exists to avoid), in-batch negatives, fused chunks, sparse
+    # gathered-row table updates (the production path — step-identical to
+    # the dense trainer, tests/test_ranker.py::TestSparseSampledTrainer) —
+    # the other half of the north-star ranking workload
+    tr = r.sparse_trainer(batch_size=b, seq_length=t, fuse_chunks=8,
+                          sampled_softmax=8192, in_batch_negatives=True)
     tp = tr.init()
     ts = tr.state0()
     fuse = 8

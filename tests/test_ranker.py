@@ -484,3 +484,69 @@ class TestPallasRankerOnMesh:
                                    atol=1e-5, rtol=1e-5)
         np.testing.assert_array_equal(np.asarray(i_pm), np.asarray(i_xm))
         np.testing.assert_array_equal(np.asarray(i_pm), np.asarray(i_p1))
+
+
+class TestSparseSampledTrainer:
+    """Sparse (gathered-row) table updates must be step-identical to the
+    dense sampled trainer: untouched rows have zero dense gradient, and the
+    exact clip norm is recovered by the duplicate-merging segment sum."""
+
+    def test_dedup_sq_norm_equals_dense_scatter(self):
+        from vmlmf_tpu.serve.ranker import _dedup_sq_norm
+
+        rng = np.random.RandomState(0)
+        ids = jnp.asarray(rng.randint(0, 7, (20,)))  # many duplicates
+        rows = jnp.asarray(rng.normal(size=(20, 3)).astype(np.float32))
+        dense = jnp.zeros((7, 3)).at[ids].add(rows)
+        np.testing.assert_allclose(
+            float(_dedup_sq_norm(ids, rows)), float(jnp.sum(dense * dense)),
+            rtol=1e-6)
+
+    def test_matches_dense_sampled_trainer(self):
+        r = small_ranker(num_items=128, hidden=16)
+        dense = r.trainer(batch_size=4, seq_length=5, fuse_chunks=1,
+                          sampled_softmax=16, in_batch_negatives=True)
+        sparse = r.sparse_trainer(batch_size=4, seq_length=5, fuse_chunks=1,
+                                  sampled_softmax=16, in_batch_negatives=True)
+        pd, ps = dense.init(), sparse.init()
+        sd, ss = dense.state0(), sparse.state0()
+        xs = np.random.RandomState(1).randint(0, 128, (4, 5, 4))
+        ys = (xs * 3 + 7) % 128
+        for i in range(4):
+            pd, sd, ld, gd = dense._train_step(
+                pd, sd, jnp.asarray(xs[i]), jnp.asarray(ys[i]),
+                jnp.float32(0.5), jax.random.PRNGKey(i))
+            ps, ss, ls, gs = sparse._train_step(
+                ps, ss, jnp.asarray(xs[i]), jnp.asarray(ys[i]),
+                jnp.float32(0.5), jax.random.PRNGKey(i))
+            assert np.isclose(float(ld), float(ls), rtol=1e-5), (i, ld, ls)
+            assert np.isclose(float(gd), float(gs), rtol=1e-5), (i, gd, gs)
+        for a, b in zip(jax.tree_util.tree_leaves(pd),
+                        jax.tree_util.tree_leaves(ps)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-6, rtol=2e-6)
+
+    def test_fused_chunks_matches_dense(self):
+        r = small_ranker(num_items=128, hidden=16)
+        dense = r.trainer(batch_size=4, seq_length=5, fuse_chunks=3,
+                          sampled_softmax=16, in_batch_negatives=True)
+        sparse = r.sparse_trainer(batch_size=4, seq_length=5, fuse_chunks=3,
+                                  sampled_softmax=16, in_batch_negatives=True)
+        xs = jnp.asarray(np.random.RandomState(1).randint(0, 128, (3, 5, 4)))
+        ys = (xs * 3 + 7) % 128
+        pd, sd = dense.init(), dense.state0()
+        ps, ss = sparse.init(), sparse.state0()
+        pd, sd, ld, _ = dense._fused_chunks(pd, sd, xs, ys, jnp.float32(0.5),
+                                            jax.random.PRNGKey(9))
+        ps, ss, ls, _ = sparse._fused_chunks(ps, ss, xs, ys, jnp.float32(0.5),
+                                             jax.random.PRNGKey(9))
+        np.testing.assert_allclose(np.asarray(ld), np.asarray(ls), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(pd),
+                        jax.tree_util.tree_leaves(ps)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-6, rtol=5e-6)
+
+    def test_untied_table_rejected(self):
+        r = small_ranker(num_items=64, hidden=16, tie=False)
+        with pytest.raises(ValueError, match="tie_items"):
+            r.sparse_trainer()

@@ -229,10 +229,21 @@ class LMModel:
         The entry point for heads that must not materialize the [T·B, V]
         logits block — e.g. sampled-softmax training over huge item catalogs
         (`serve.ranker.SessionRanker.sampled_loss`)."""
+        x = self.embed(params["embed"], ids)  # [T, B, H]
+        return self.hidden_from_embedded(params, x, states, rng=rng,
+                                         train=train)
+
+    def hidden_from_embedded(self, params, x, states, *, rng=None,
+                             train=False):
+        """`apply_hidden` starting from a pre-embedded ``x [T, B, H]``.
+
+        Lets callers own the table lookup — e.g. the sparse-update ranking
+        trainer gathers the touched table rows itself so gradients flow to
+        the gathered slices instead of a dense [N, H] scatter
+        (`serve.ranker`)."""
         det = not train
         n_drops = 1 + self.num_layers
         keys = jax.random.split(rng, n_drops) if rng is not None else [None] * n_drops
-        x = self.embed(params["embed"], ids)  # [T, B, H]
         x = dropout(keys[0], x, self.dropout_rate, det or keys[0] is None)
         if self.backend == "pallas_pipelined":
             from vmlmf_tpu.nn.recurrence import _use_interpret

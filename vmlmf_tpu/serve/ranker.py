@@ -88,6 +88,56 @@ def blocked_topk(scores, k, block=2048):
         gi.reshape(b, nb * kb), sel, axis=1).astype(jnp.int32)
 
 
+def _sampled_ce(hs, sub_t, sub_n, b_t, b_n, targets, neg, n_items, in_batch):
+    """Sampled-softmax CE from gathered table slices (the shared core of
+    `sampled_softmax_loss` and the sparse-update trainer).
+
+    hs: [M, H] hidden states; sub_t: [M, H] table rows at the targets;
+    sub_n: [S, H] rows at the sampled negatives; b_t/b_n: their biases.
+    -> scalar mean loss.
+
+    The CE is assembled PIECEWISE — per-block logsumexp, then a logsumexp
+    over the [M, 2-3] block-lse column — instead of concatenating
+    pos|neg|in-batch into one [M, 1+S+M] logits block: log_softmax[:, 0]
+    equals pos − lse_all either way (grads to ~1e-7), but the concat form
+    materializes the combined block (227 MB at the bench config) through
+    several HBM passes; the piecewise form lets each block's lse fuse with
+    its matmul.  Measured +24% end-to-end ranker training (docs/latency.md
+    round 5)."""
+    num_samples = neg.shape[0]
+    pos_logit = jnp.sum(hs * sub_t, axis=-1) + b_t
+    neg_logit = hs @ sub_n.T + b_n                     # [M, S]
+    # logQ correction: uniform q = num_samples / N per negative draw
+    neg_logit = neg_logit - jnp.log(num_samples / n_items)
+    # mask accidental hits (a sampled negative equal to the target)
+    hit = neg[None, :] == targets[:, None]
+    neg_logit = jnp.where(hit, _neg_inf(neg_logit.dtype), neg_logit)
+    pieces = [pos_logit, jax.nn.logsumexp(neg_logit, axis=1)]
+    if in_batch:
+        ib = hs @ sub_t.T + b_t
+        dup = targets[None, :] == targets[:, None]     # incl. the diagonal —
+        ib = jnp.where(dup, _neg_inf(ib.dtype), ib)    # pos is its own piece
+        pieces.append(jax.nn.logsumexp(ib, axis=1))
+    lse_all = jax.nn.logsumexp(jnp.stack(pieces, axis=1), axis=1)
+    return (lse_all - pos_logit).mean()
+
+
+def _dedup_sq_norm(ids, rows):
+    """Exact ||Σ_occurrences||² of a scattered gradient: sort ids, segment-
+    sum duplicate rows, return the squared Frobenius norm of the summed
+    rows.  Equals the squared norm of the DENSE scatter-add of ``rows`` at
+    ``ids`` (cross terms between duplicate ids included) without
+    materializing the [N, H] table-shaped gradient."""
+    order = jnp.argsort(ids)
+    sid = ids[order]
+    srow = rows[order]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sid[1:] != sid[:-1]])
+    seg = jnp.cumsum(first) - 1
+    summed = jax.ops.segment_sum(srow, seg, num_segments=ids.shape[0])
+    return jnp.sum(summed * summed)
+
+
 def _retrieve(scores, k, method, recall_target):
     """Dispatch a retrieval method over a [B, N] score block."""
     if method == "exact":
@@ -339,21 +389,9 @@ class SessionRanker:
         w, bias = self._head(params)                  # [H, N], [N]
         n = self.num_items
         neg = jax.random.randint(key, (num_samples,), 0, n)
-        pos_logit = jnp.einsum("mh,hm->m", hs, w[:, targets]) + bias[targets]
-        neg_logit = hs @ w[:, neg] + bias[neg]        # [M, S]
-        # logQ correction: uniform q = num_samples / N per negative draw
-        neg_logit = neg_logit - jnp.log(num_samples / n)
-        # mask accidental hits (a sampled negative equal to the target)
-        hit = neg[None, :] == targets[:, None]
-        neg_logit = jnp.where(hit, _neg_inf(neg_logit.dtype), neg_logit)
-        all_logits = [pos_logit[:, None], neg_logit]
-        if in_batch:
-            ib = jnp.einsum("mh,hk->mk", hs, w[:, targets]) + bias[targets]
-            dup = targets[None, :] == targets[:, None]  # incl. the diagonal:
-            ib = jnp.where(dup, _neg_inf(ib.dtype), ib)  # pos column is first
-            all_logits.append(ib)
-        all_logits = jnp.concatenate(all_logits, axis=1)
-        return -jax.nn.log_softmax(all_logits)[:, 0].mean()
+        # gathered table slices: rows of the (transposed) head == table rows
+        return _sampled_ce(hs, w[:, targets].T, w[:, neg].T, bias[targets],
+                           bias[neg], targets, neg, n, in_batch)
 
     def sampled_loss(self, params, ids, targets, states, rng, num_samples,
                      *, in_batch=False):
@@ -375,6 +413,34 @@ class SessionRanker:
             num_samples, in_batch=in_batch)
         return loss * b, new_states
 
+    def sparse_trainer(self, *, batch_size=20, seq_length=35,
+                       sampled_softmax=8192, in_batch_negatives=True,
+                       learning_rate=1.0, max_grad_norm=5.0, seed=0,
+                       fuse_chunks=8):
+        """A `SparseSampledTrainer`: sampled-softmax SGD where the item
+        table is updated ONLY at the rows a chunk touches.
+
+        The dense path materializes a table-shaped [N, H] gradient (zeros +
+        scatter), computes the clip norm over it, and rewrites the whole
+        table for `p − lr·g` — at 100k items that is ~40% of the training
+        chunk's device time to modify ~17k rows (trace: docs/latency.md).
+        This trainer takes gradients with respect to the GATHERED rows,
+        computes the exact global clip norm with a duplicate-merging
+        segment sum, and scatter-adds the update — semantics identical to
+        dense SGD+clip (untouched rows have zero gradient), measured
+        ~bit-equal and substantially faster.  Requires ``tie_items=True``
+        (one table) and plain SGD (sparse updates compose with stateless
+        SGD, not with per-row optimizer state)."""
+        if not self.model.tie_embeddings:
+            raise ValueError(
+                "sparse_trainer requires tie_items=True (a single item "
+                "table); the untied head would need its own sparse path")
+        return SparseSampledTrainer(
+            self, batch_size=batch_size, seq_length=seq_length,
+            num_samples=sampled_softmax, in_batch=in_batch_negatives,
+            learning_rate=learning_rate, max_grad_norm=max_grad_norm,
+            seed=seed, fuse_chunks=fuse_chunks)
+
     def trainer(self, *, batch_size=20, seq_length=35, mesh=None,
                 sampled_softmax=None, in_batch_negatives=False, **kw):
         """An `LMTrainer` over this ranker's model (manual SGD + clip —
@@ -395,3 +461,111 @@ class SessionRanker:
                                   in_batch=in_batch_negatives))
         return LMTrainer(self.model, batch_size=batch_size,
                          seq_length=seq_length, mesh=mesh, **kw)
+
+
+@dataclasses.dataclass
+class SparseSampledTrainer:
+    """Sampled-softmax ranking trainer with sparse (gathered-row) table
+    updates — see `SessionRanker.sparse_trainer` for the rationale.
+
+    API mirrors the `LMTrainer` training surface (`init`, `state0`,
+    `_train_step`, `_fused_chunks`); evaluation goes through the ranker's
+    own `eval_metrics`/`rank_next` (full-CE perplexity over a 100k+ catalog
+    is the exact thing this trainer avoids computing).
+
+    Step semantics are IDENTICAL to the dense path
+    (`trainer(sampled_softmax=..., ...)` with the same seeds): the global
+    clip norm is computed exactly (duplicate ids merged via segment sum —
+    `_dedup_sq_norm`), and untouched table rows are unchanged either way
+    because their dense gradient is zero.  `tests/test_ranker.py::
+    TestSparseSampledTrainer` asserts multi-step parameter equality.
+    """
+
+    ranker: SessionRanker
+    batch_size: int = 20
+    seq_length: int = 35
+    num_samples: int = 8192
+    in_batch: bool = True
+    learning_rate: float = 1.0
+    max_grad_norm: float = 5.0
+    seed: int = 0
+    fuse_chunks: int = 8
+
+    def __post_init__(self):
+        model = self.ranker.model
+        n = self.ranker.num_items
+        s_neg = self.num_samples
+
+        def sgd_chunk(params, states, x, y, lr, rng):
+            table = params["embed"]["w"]              # [N, H]
+            bias = params["fc"]["b"]                  # [N]
+            kd, kn = jax.random.split(rng)
+            neg = jax.random.randint(kn, (s_neg,), 0, n)
+            x_ids = x.reshape(-1)                     # [T*B]
+            tgt = y.reshape(-1)                       # [T*B]
+            sub_x = table[x]                          # [T, B, H]
+            sub_t = table[tgt]                        # [M, H]
+            sub_n = table[neg]                        # [S, H]
+            b_t, b_n = bias[tgt], bias[neg]
+
+            def loss_fn(sub_x, sub_t, sub_n, b_t, b_n, rnn_params):
+                hs, new_states = model.hidden_from_embedded(
+                    {"rnn": rnn_params}, sub_x, states, rng=kd, train=True)
+                m = hs.shape[0] * hs.shape[1]
+                loss = _sampled_ce(hs.reshape(m, -1), sub_t, sub_n, b_t,
+                                   b_n, tgt, neg, n, self.in_batch)
+                # Zaremba loss scale (x batch), as the dense trainer
+                return loss * y.shape[1], new_states
+
+            (loss, new_states), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2, 3, 4, 5), has_aux=True)(
+                sub_x, sub_t, sub_n, b_t, b_n, params["rnn"])
+            d_sub_x, d_sub_t, d_sub_n, d_b_t, d_b_n, d_rnn = grads
+
+            # exact global clip norm: table/bias contributions via the
+            # duplicate-merging segment sum (== the dense grad's norm)
+            m = d_sub_x.shape[0] * d_sub_x.shape[1]
+            table_ids = jnp.concatenate([x_ids, tgt, neg])
+            table_rows = jnp.concatenate(
+                [d_sub_x.reshape(m, -1), d_sub_t, d_sub_n])
+            bias_ids = jnp.concatenate([tgt, neg])
+            bias_vals = jnp.concatenate([d_b_t, d_b_n])
+            sq = (_dedup_sq_norm(table_ids, table_rows)
+                  + _dedup_sq_norm(bias_ids, bias_vals[:, None])
+                  + sum(jnp.sum(jnp.square(g))
+                        for g in jax.tree_util.tree_leaves(d_rnn)))
+            gnorm = jnp.sqrt(sq)
+            step = lr * jnp.minimum(1.0, self.max_grad_norm / (gnorm + 1e-6))
+
+            table = table.at[table_ids].add(-step * table_rows)
+            bias = bias.at[bias_ids].add(-step * bias_vals)
+            rnn = jax.tree_util.tree_map(
+                lambda p, g: p - step * g, params["rnn"], d_rnn)
+            params = {"embed": {"w": table}, "rnn": rnn, "fc": {"b": bias}}
+            return params, new_states, loss, gnorm
+
+        self._train_step = jax.jit(sgd_chunk, donate_argnums=(0, 1))
+
+        from functools import partial
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def fused_chunks(params, states, xs, ys, lr, rng):
+            keys = jax.random.split(rng, xs.shape[0])
+
+            def body(carry, inp):
+                p, s = carry
+                x, y, key = inp
+                p, s, loss, gnorm = sgd_chunk(p, s, x, y, lr, key)
+                return (p, s), (loss, gnorm)
+
+            (params, states), (losses, gnorms) = jax.lax.scan(
+                body, (params, states), (xs, ys, keys))
+            return params, states, losses, gnorms
+
+        self._fused_chunks = fused_chunks
+
+    def init(self, dtype=jnp.float32):
+        return self.ranker.init(jax.random.PRNGKey(self.seed), dtype)
+
+    def state0(self, batch=None):
+        return self.ranker.model.state0(batch or self.batch_size)
