@@ -37,8 +37,9 @@ regressions are visible in BENCH_r*.json:
   * lm_train_mfu — achieved fraction of the bf16 MXU peak for the LM train
     step (the rate TPU matmuls actually run at under JAX's default
     precision; redefined from the f32 peak in round 5 — docs/latency.md),
-  * lm_train_wps_b128 / lm_train_mfu_b128 — the recommended B=128 throughput
-    profile (BASELINE.md LM-vs-batch row), tracked so it cannot rot,
+  * lm_train_wps_b128/_b256 (+ MFUs) — the large-batch throughput profiles
+    (BASELINE.md LM-vs-batch row; B=256 is the post-lse-loss knee and the
+    recommended profile), tracked so they cannot rot,
   * ranker_* — session-ranking serving throughput for both retrieval tiers
     plus the measured approx recall vs the exact ranking (the speed/recall
     trade is regression-guarded together).
@@ -479,9 +480,39 @@ def bench_lm(chip):
     b128_wps = fuse2 * t * b2 / bdev
     b128_mfu = b128_wps * train_flops_per_word / chip_peaks(chip)["bf16"]
 
+    # B=256: the post-lse-loss throughput knee (round-5 sweep: 748.9k /
+    # 883.8k / 856.7k wps at B=128/256/512) — the recommended profile
+    b3, fuse3 = 256, 8
+    tr3 = LMTrainer(model, batch_size=b3, seq_length=t, fuse_chunks=fuse3)
+    p3 = tr3.init()
+    s3 = tr3.state0()
+    xs3 = jnp.asarray(np.random.RandomState(6).randint(0, vocab, (fuse3, t, b3)))
+    ys3 = jnp.asarray(np.random.RandomState(7).randint(0, vocab, (fuse3, t, b3)))
+    p3, s3, losses3, _ = tr3._fused_chunks(p3, s3, xs3, ys3, jnp.float32(1.0),
+                                           jax.random.PRNGKey(0))
+    cstate = {"p": p3, "s": s3, "l": float(losses3[-1]), "i": 0}
+
+    def timed_b256(iters):
+        p3, s3 = cstate["p"], cstate["s"]
+        t0 = time.perf_counter()
+        for i in range(iters):
+            p3, s3, losses3, _ = tr3._fused_chunks(
+                p3, s3, xs3, ys3, jnp.float32(1.0),
+                jax.random.PRNGKey(cstate["i"] + i))
+        l1 = float(losses3[-1])
+        dt = time.perf_counter() - t0
+        assert l1 != cstate["l"], "B=256 LM training chain did not execute"
+        cstate.update(p=p3, s=s3, l=l1, i=cstate["i"] + iters)
+        return dt
+
+    cdev, _ = fit_device_seconds(timed_b256, counts=(1, 5), rounds=3)
+    b256_wps = fuse3 * t * b3 / cdev
+    b256_mfu = b256_wps * train_flops_per_word / chip_peaks(chip)["bf16"]
+
     return {"lm_train_wps": train_wps, "lm_infer_wps": infer_wps,
             "lm_train_mfu": lm_mfu, "lm_train_wps_b128": b128_wps,
-            "lm_train_mfu_b128": b128_mfu}
+            "lm_train_mfu_b128": b128_mfu, "lm_train_wps_b256": b256_wps,
+            "lm_train_mfu_b256": b256_mfu}
 
 
 def bench_ranker(n_items=100_000, t=35, b=128, k=100):
@@ -614,8 +645,9 @@ def main():
     latency = bench_har_latency_fit()
     note(f"latency fit done {latency}")
     lm = bench_lm(har["chip"])
-    note(f"lm done {lm['lm_train_wps']:.0f} wps "
-         f"(B=128 profile {lm['lm_train_wps_b128']:.0f})")
+    note(f"lm done {lm['lm_train_wps']:.0f} wps (B=128 "
+         f"{lm['lm_train_wps_b128']:.0f}, B=256 "
+         f"{lm['lm_train_wps_b256']:.0f})")
     try:
         ranker = bench_ranker()
         note(f"ranker done {ranker}")
@@ -647,6 +679,8 @@ def main():
             "lm_train_mfu": round(lm["lm_train_mfu"], 5),
             "lm_train_wps_b128": round(lm["lm_train_wps_b128"], 1),
             "lm_train_mfu_b128": round(lm["lm_train_mfu_b128"], 5),
+            "lm_train_wps_b256": round(lm["lm_train_wps_b256"], 1),
+            "lm_train_mfu_b256": round(lm["lm_train_mfu_b256"], 5),
             "ranker_sessions_per_sec": (
                 None if ranker["ranker_sessions_per_sec"] is None
                 else round(ranker["ranker_sessions_per_sec"], 1)),

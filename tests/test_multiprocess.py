@@ -107,6 +107,25 @@ TRAIN_WORKER = textwrap.dedent(
     tree_close(materialize(mesh, (p_dp, o_dp)),
                (jax.device_get(p_ref), jax.device_get(o_ref)), "har params")
 
+    # ---- HAR on the PALLAS backend across both processes: the fused scan
+    # kernel runs shard_mapped over the 4-device data axis spanning the
+    # process boundary (parallel/spmd.kernel_spmd; weight-grad psum rides
+    # gloo) — the round-5 kernel x mesh composition on a real cluster ------
+    pmodel = HARNet(input_size=9, layer_sizes=(16,), num_classes=6,
+                    backend="pallas",
+                    cell_factory=lambda n, h: VMLMFCell(n, h, w_rank=4, u_rank=4))
+    pref = HARTrainer(pmodel, learning_rate=1e-2, seed=7)
+    pp_ref, po_ref = pref.init()
+    pp_ref, po_ref, ploss_ref = pref._train_step(pp_ref, po_ref, x, y)
+    pdp = HARTrainer(pmodel, learning_rate=1e-2, seed=7, mesh=mesh)
+    pp, po = pdp.init()
+    xb2, yb2 = pdp.commit_batch(x, y)
+    pp, po, ploss = pdp._train_step(pp, po, xb2, yb2)
+    np.testing.assert_allclose(float(ploss), float(ploss_ref),
+                               atol=1e-5, rtol=1e-5)
+    tree_close(materialize(mesh, pp), jax.device_get(pp_ref),
+               "pallas cross-process params")
+
     # ---- LM: one vocab-sharded + data-parallel SGD step ------------------
     lm = LMModel(vocab_size=32, hidden_size=16, num_layers=1,
                  cell_factory=lambda n, h: VMLMFCell(n, h, w_rank=4, u_rank=4),
