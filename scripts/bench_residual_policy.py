@@ -3,13 +3,14 @@
 The tunneled runtime's run-to-run variance (±20%) swamps single-shot
 comparisons, so this interleaves the two policies A,B,A,B,... inside one
 process and reports per-policy medians.  Policies:
-  recompute (default)          — backward recomputes gates/rank activations
-  saved (VMLMF_PALLAS_SAVED_GATES=1) — backward streams saved residuals
+  recompute (VMLMF_PALLAS_SAVED_GATES=0) — backward recomputes gates/rank
+  saved     (=1, the round-5 DEFAULT)    — backward streams saved residuals
 
 Usage: python scripts/bench_residual_policy.py [har|gru|group] [rounds] [ENV]
-ENV (default VMLMF_PALLAS_SAVED_GATES) is A/B'd between unset ("A") and "1"
+ENV (default VMLMF_PALLAS_SAVED_GATES) is A/B'd between "0" ("A") and "1"
 ("B") — e.g. pass VMLMF_PALLAS_DENSE_REC to A/B the dense-materialized
-recurrence instead.
+recurrence instead (for knobs whose off state is unset, "0" must equal
+unset, as it does for every VMLMF_* boolean knob).
 """
 import os
 import statistics
@@ -66,10 +67,10 @@ def main():
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     env = sys.argv[3] if len(sys.argv) > 3 else "VMLMF_PALLAS_SAVED_GATES"
     run = make_runner(kind)
-    a, b = f"{env} unset", f"{env}=1"
+    a, b = f"{env}=0", f"{env}=1"
     results = {a: [], b: []}
     for _ in range(rounds):
-        os.environ.pop(env, None)
+        os.environ[env] = "0"
         results[a].append(run())
         os.environ[env] = "1"
         results[b].append(run())

@@ -23,7 +23,9 @@ recompute matmuls and never re-streams gi; in x mode (default) the backward
 RECOMPUTES them from the streamed x and saved h_prev with batched
 per-time-block matmuls — h_prev is a residual, so the recompute is off the
 serial chain, and the [T,B,3h] gates + 2×[T,B,r] rank streams never touch
-HBM at all (VMLMF_PALLAS_SAVED_GATES=1 restores the saved policy).
+HBM at all (saved is the round-5 DEFAULT — measured faster once the
+lse-loss fix removed competing HBM waste; VMLMF_PALLAS_SAVED_GATES=0
+selects the recompute policy).
 """
 
 from __future__ import annotations
@@ -719,7 +721,7 @@ def gru_scan_fused_xin(xs, ux, vx, bias, uf, prz, pn, h0, *, mode="pre",
         przp = _pad_to(prz.reshape(h, 2, h), (hp, 2, hp)).reshape(hp, 2 * hp)
         pnp = _pad_to(pn, (hp, hp))
 
-    save_gates = os.environ.get("VMLMF_PALLAS_SAVED_GATES") == "1"
+    save_gates = os.environ.get("VMLMF_PALLAS_SAVED_GATES", "1") != "0"
     ys = _scan_core_xin(xsp, uxp, vxp, biasp, ufp, przp, pnp, h0p,
                         lowrank, x_lowrank, interpret, post, save_gates)
     return ys[:, :b, :h]

@@ -166,8 +166,8 @@ def fused_scan_fits(t, b, gwidth_p, weight_arrs, *, xin):
     VMLMF_PALLAS_SAVED_GATES residual policy at trace time, same as the
     kernels themselves."""
     bp = _round_up(b, 8)
-    # gi mode always saves gates; xin mode recomputes unless the env opts out
-    save = (not xin) or os.environ.get("VMLMF_PALLAS_SAVED_GATES") == "1"
+    # gi mode always saves gates; xin saves by default (env '0' = recompute)
+    save = (not xin) or os.environ.get("VMLMF_PALLAS_SAVED_GATES", "1") != "0"
     fixed = _padded_nbytes(weight_arrs)
     live_f = (10 if save else 9) + (3 if xin else 0)
     live_b = 16 + (4 if xin else 0) + (0 if save else 8)
@@ -979,13 +979,14 @@ def lstm_scan_fused_xin(xs, ux, vx, xdvec, bias, u, v, dvec, h0, c0, *,
     replacing them with 2 passes of [T, B, F].  The win scales with 4h / F;
     it is the roofline fix for narrow-input models (HAR: F=77, 4h=720).
 
-    By default the backward additionally RECOMPUTES the gates and h@U
-    residuals from the streamed x and saved h_prev (batched per time block,
-    off the serial chain) instead of round-tripping them through HBM —
-    removing the [T,B,4h] gates write+read and [T,B,r] h@U write+read, the
-    dominant remaining streams of the train step.  Set
-    VMLMF_PALLAS_SAVED_GATES=1 to restore the zero-recompute residual policy
-    (the latency-bound regime's trade, as used by the gi-mode kernel).
+    Residual policy (round-5 default flip): by default the backward
+    STREAMS the saved gates and h@U residuals ([T,B,4h] + [T,B,r] HBM
+    round trips, zero recompute) — measured ~11% faster end-to-end at the
+    large-batch LM profiles and +3-4% even at B=20/81 once the lse-loss
+    fix removed the competing HBM waste; set VMLMF_PALLAS_SAVED_GATES=0
+    for the RECOMPUTE policy (gates/h@U rebuilt batched from x + saved
+    h_prev), which halves the step's residual HBM footprint for
+    memory-constrained configs at that throughput cost.
     NOTE the policy is captured at TRACE time: flipping the env var after a
     step is jitted has no effect — the jit cache keeps the traced policy.
     Re-jit (fresh trainer / `jax.clear_caches()`) to change it, as
@@ -1031,7 +1032,7 @@ def lstm_scan_fused_xin(xs, ux, vx, xdvec, bias, u, v, dvec, h0, c0, *,
         vp = jnp.zeros((8, 128), jnp.float32)  # unused placeholder
 
     bf16 = precision == "bf16"
-    save_gates = os.environ.get("VMLMF_PALLAS_SAVED_GATES") == "1"
+    save_gates = os.environ.get("VMLMF_PALLAS_SAVED_GATES", "1") != "0"
     ys, c_last = _scan_core_xin(xsp, uxp, vxp, xdvecp, biasp, up, vp, dvec4,
                                 h0p, c0p, lowrank, x_lowrank, interpret, bf16,
                                 save_gates)
