@@ -108,9 +108,9 @@ def har_train_hbm_bytes(batch, t, feats, hidden, u_rank, n_params):
     the byte model counts those streams; VMLMF_PALLAS_SAVED_GATES=0 selects
     the recompute policy (gates/h@U rebuilt batched from x + saved h_prev,
     no residual streams) — the reported roofline fraction stays consistent
-    with whichever policy the bench process traced.  Kernel streams are counted at the PADDED widths the
-    chip actually moves (lane multiples of 128); XLA-side glue at logical
-    widths:
+    with whichever policy the bench process traced.  Kernel streams are
+    counted at the PADDED widths the chip actually moves (lane multiples of
+    128); XLA-side glue at logical widths:
       fwd kernel:  x read; ys, cs writes [; gates, hu writes (saved policy)]
       bwd kernel:  x, ys (h_prev), cs (c_prev + c_t), dys reads; dx write
                    [; gates, hu reads (saved policy)]
