@@ -550,3 +550,35 @@ class TestSparseSampledTrainer:
         r = small_ranker(num_items=64, hidden=16, tie=False)
         with pytest.raises(ValueError, match="tie_items"):
             r.sparse_trainer()
+
+    def test_sparse_step_on_row_sharded_table(self):
+        """The sparse trainer's gathers / segment sums / scatter-add updates
+        lower correctly over a row-sharded table: step equals unsharded and
+        the table keeps its P('model', None) sharding through the update."""
+        from jax.sharding import PartitionSpec as P
+
+        from vmlmf_tpu.parallel.sharding import lm_state_sharding
+
+        r = small_ranker(num_items=128, hidden=16)
+        tr = r.sparse_trainer(batch_size=4, seq_length=5, fuse_chunks=1,
+                              sampled_softmax=16)
+        xs = np.random.RandomState(1).randint(0, 128, (5, 4))
+        ys = (xs * 3 + 7) % 128
+        p0 = tr.init()
+        p1, _, l1, _ = tr._train_step(
+            jax.tree.map(jnp.array, p0), tr.state0(), jnp.asarray(xs),
+            jnp.asarray(ys), jnp.float32(0.5), jax.random.PRNGKey(0))
+
+        mesh = make_mesh(data=2, model=4)
+        p_sh = jax.device_put(p0, lm_param_sharding(p0, mesh))
+        s_sh = jax.device_put(tr.state0(),
+                              lm_state_sharding(tr.state0(), mesh))
+        p2, _, l2, _ = tr._train_step(p_sh, s_sh, jnp.asarray(xs),
+                                      jnp.asarray(ys), jnp.float32(0.5),
+                                      jax.random.PRNGKey(0))
+        assert np.isclose(float(l1), float(l2), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5, rtol=2e-5)
+        assert p2["embed"]["w"].sharding.spec == P("model", None)

@@ -479,6 +479,12 @@ class SparseSampledTrainer:
     `_dedup_sq_norm`), and untouched table rows are unchanged either way
     because their dense gradient is zero.  `tests/test_ranker.py::
     TestSparseSampledTrainer` asserts multi-step parameter equality.
+
+    Composes with a ROW-SHARDED table out of the box: with params laid out
+    by `lm_param_sharding`, XLA partitions the row gathers, segment sums,
+    and the scatter-add update, and the table keeps its P('model', None)
+    sharding through the step (pinned by
+    `test_sparse_step_on_row_sharded_table`).
     """
 
     ranker: SessionRanker
