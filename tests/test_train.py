@@ -380,6 +380,7 @@ class TestChipTables:
             "TPU v6 lite": "v6e",
             "Trillium": "v6e",
             "TPU v7": "v7",
+            "TPU7x": "v7",
             "Ironwood": "v7",
         }
         for kind, expect in cases.items():

@@ -155,7 +155,7 @@ def detect_chip(kind=None):
         return "v5e"
     if "v6 lite" in kind or "v6lite" in kind or "trillium" in kind or "v6" in kind:
         return "v6e"
-    if "ironwood" in kind:
+    if "ironwood" in kind or "tpu7" in kind:
         return "v7"
     _warn_unknown_chip(kind)
     return "v5e"
