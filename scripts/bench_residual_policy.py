@@ -79,7 +79,7 @@ def main():
         print(f"{kind} {k}: median {statistics.median(v)/1e3:.1f}k seq/s "
               f"(runs: {[round(x/1e3, 1) for x in v]})")
     ratio = statistics.median(results[a]) / statistics.median(results[b])
-    print(f"{kind} unset/set: {ratio:.3f}x")
+    print(f"{kind} =1 vs =0: {ratio:.3f}x")
 
 
 if __name__ == "__main__":
